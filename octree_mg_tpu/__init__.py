@@ -1,0 +1,33 @@
+"""octree_mg_tpu: a TPU-native geometric multigrid framework.
+
+A from-scratch JAX/XLA implementation with the capabilities of the
+octree-mg Fortran/MPI library (Teunissen & Keppens, CPC 2019): FAS
+multigrid on quadtree/octree block-structured AMR grids, 1D/2D/3D,
+Laplacian/Helmholtz/variable-coefficient/anisotropic operators, implicit
+diffusion, and a 3D free-space Poisson solver.
+
+Design: SoA per-level arrays in HBM, batched stencil kernels, halo
+exchange as static gather maps (sharded across a device mesh), FAS cycle
+drivers as single jitted computations.
+"""
+
+from .core.constants import (BCType, Geometry, Operator, Smoother, IPHI,
+                             IRHS, IOLD, IRES, IVEPS, IVEPS1, IVEPS2, IVEPS3,
+                             NUM_VARS)
+from .core import tree as tree_mod
+from .core.tree import (Tree, build_rectangle, build_amr_centered,
+                        add_children, set_leaves_parents, set_next_level_ids,
+                        set_neighbors_lvl, set_refinement_boundaries,
+                        finalize_amr, box_r_min)
+from .solve.multigrid import MGConfig, MGSolver
+
+__all__ = [
+    "BCType", "Geometry", "Operator", "Smoother",
+    "IPHI", "IRHS", "IOLD", "IRES", "IVEPS", "IVEPS1", "IVEPS2", "IVEPS3",
+    "NUM_VARS", "Tree", "build_rectangle", "build_amr_centered",
+    "add_children", "set_leaves_parents", "set_next_level_ids",
+    "set_neighbors_lvl", "set_refinement_boundaries", "finalize_amr",
+    "box_r_min", "MGConfig", "MGSolver",
+]
+
+__version__ = "0.1.0"
