@@ -1,0 +1,109 @@
+"""Headline benchmark: 3D Poisson FMG throughput on one TPU chip.
+
+Metric (reference definition, tests/test_performance.f90:90-92):
+    unknowns/microsec = n_boxes * box_size^NDIM * n_its / elapsed * 1e-6
+with n_boxes the total box count over all levels.
+
+Baseline: the repo ships no Fortran timing numbers and this image has no
+Fortran/MPI toolchain to measure one (BASELINE.md requires compiling the
+reference).  The single-node Fortran/MPI estimate used here is 2.0e8
+unknowns/s: a GSRB FAS V(2,2)+FMG cycle touches each cell ~10-15x per
+iteration; at the ~10-20 GB/s effective per-core bandwidth of a typical
+16-core MPI node this bounds throughput to O(1e7) unknowns/s/core, i.e.
+~2e8/node.  vs_baseline is reported against that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# persistent compilation cache: the heavy fused-FMG compile is done once
+# per configuration and reused across bench invocations
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
+BASELINE_UNKNOWNS_PER_S = 2.0e8  # estimated Fortran/MPI single node (see above)
+
+
+def run(size, box, n_its=5, dtype_name="float32"):
+    import jax
+    import jax.numpy as jnp
+    from octree_mg_tpu import IPHI, IRES, IRHS, MGConfig, MGSolver, build_rectangle
+
+    dtype = getattr(jnp, dtype_name)
+    dsz = np.full(3, size)
+    tree = build_rectangle(3, dsz, box, 1.0 / dsz, np.zeros(3))
+    import jax as _jax
+    _jax.config.update("jax_compilation_cache_dir",
+                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    solver = MGSolver(tree, MGConfig(operator="laplacian", dtype=dtype,
+                                     donate=True, fmg_mode="fused"))
+    state = solver.allocate()
+
+    # random rhs on the top level, generated on-device (a host->device
+    # copy of the full field would dominate setup time)
+    top = solver.levels[-1]
+    st = solver.static[top]
+    n, nc = st["n_boxes"], st["nc"]
+    key = jax.random.PRNGKey(0)
+    rhs = jax.random.normal(key, (n, nc + 2, nc + 2, nc + 2), dtype)
+    state["cc"][top] = state["cc"][top].at[IRHS].set(rhs)
+
+    # warmup/compile
+    state, res0 = solver.fas_fmg(state, have_guess=True)
+    jax.block_until_ready(res0)
+
+    t0 = time.perf_counter()
+    for _ in range(n_its):
+        state, res = solver.fas_fmg(state, have_guess=True)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+
+    n_boxes = sum(solver.static[l]["n_boxes"] for l in solver.levels)
+    unknowns = float(n_boxes) * box ** 3
+    ups = unknowns * n_its / dt
+    converged = float(res) < float(res0)
+    return ups, dt / n_its, converged, float(res0), float(res)
+
+
+def main():
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    box = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    import gc
+    for attempt_size in [size, 256, 128]:
+        try:
+            ups, t_it, converged, r0, r1 = run(attempt_size, box)
+            break
+        except Exception as e:  # OOM etc. -> smaller problem
+            print(f"# bench {attempt_size}^3 failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+            gc.collect()
+            try:
+                import jax
+                jax.clear_caches()
+            except Exception:
+                pass
+            gc.collect()
+    else:
+        print(json.dumps({"metric": "unknowns_per_s_512c_poisson_fmg",
+                          "value": 0.0, "unit": "unknowns/s",
+                          "vs_baseline": 0.0}))
+        return
+    print(json.dumps({
+        "metric": f"unknowns_per_s_{attempt_size}c_poisson_fmg",
+        "value": ups,
+        "unit": "unknowns/s",
+        "vs_baseline": ups / BASELINE_UNKNOWNS_PER_S,
+    }))
+    print(f"# size={attempt_size}^3 box={box} time/FMG={t_it:.4f}s "
+          f"res {r0:.3e}->{r1:.3e} converged={converged}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

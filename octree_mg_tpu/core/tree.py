@@ -246,8 +246,7 @@ def build_rectangle(ndim: int, domain_size, box_size: int, dx, r_min,
     # add higher levels up to lvl 1 (m_build_tree.f90:143-162)
     for l in range(t.lowest_lvl, 1):
         if t.box_size_lvl[l + 1] == t.box_size_lvl[l]:
-            for b in t.lvls[l].ids:
-                add_children(t, int(b))
+            add_children_bulk(t, t.lvls[l].ids)
             set_leaves_parents(t, l)
             set_next_level_ids(t, l)
             set_neighbors_lvl(t, l + 1)
@@ -264,6 +263,20 @@ def build_rectangle(ndim: int, domain_size, box_size: int, dx, r_min,
 
     t.tree_created = True
     return t
+
+
+def add_children_bulk(t: Tree, parent_ids) -> None:
+    """Refine many boxes at once; uses the native C++ kernel when
+    available (native/treebuild.cpp), else the NumPy path."""
+    parent_ids = np.asarray(parent_ids, dtype=np.int64)
+    if len(parent_ids) == 0:
+        return
+    from .. import native
+    t._reserve(t.n_boxes + len(parent_ids) * topo.num_children(t.ndim))
+    if native.add_children_bulk(t, parent_ids):
+        return
+    for b in parent_ids:
+        add_children(t, int(b))
 
 
 def add_children(t: Tree, box_id: int) -> None:
@@ -327,7 +340,11 @@ def set_next_level_ids(t: Tree, lvl: int) -> None:
 
 
 def set_neighbors_lvl(t: Tree, lvl: int) -> None:
-    """Wire same-level neighbors through parents (m_build_tree.f90:176-233)."""
+    """Wire same-level neighbors through parents (m_build_tree.f90:176-233).
+    Native C++ fast path with NumPy fallback."""
+    from .. import native
+    if native.set_neighbors_lvl(t, t.lvls[lvl].ids):
+        return
     for b in t.lvls[lvl].ids:
         _set_neighbs(t, int(b))
 
@@ -359,6 +376,11 @@ def set_refinement_boundaries(t: Tree, lvl: int) -> None:
     if len(level.parents) == 0:
         level.ref_bnds = np.zeros(0, dtype=np.int64)
         return
+    from .. import native
+    rb = native.ref_bnds(t, level.leaves)
+    if rb is not None:
+        level.ref_bnds = rb
+        return
     out: List[int] = []
     for b in level.leaves:
         for nb in range(topo.num_neighbors(t.ndim)):
@@ -388,11 +410,13 @@ def build_amr_centered(ndim: int, n_amr_levels: int, lvl1_size, box_size: int,
     for lvl in range(1, n_amr_levels):
         r0 = 0.5 * domain_len - domain_len * 0.5 ** (lvl + 1)
         r1 = 0.5 * domain_len + domain_len * 0.5 ** (lvl + 1)
+        to_refine = []
         for b in t.lvls[lvl].ids:
             r_min_b = box_r_min(t, int(b))
             center = r_min_b + 0.5 * box_size * t.dr[lvl]
             if np.all((center >= r0) & (center <= r1)):
-                add_children(t, int(b))
+                to_refine.append(int(b))
+        add_children_bulk(t, np.array(to_refine, dtype=np.int64))
         set_leaves_parents(t, lvl)
         set_next_level_ids(t, lvl)
         set_neighbors_lvl(t, lvl + 1)

@@ -1,0 +1,157 @@
+"""Host-application coupling: mirror an external AMR forest into the
+multigrid tree and move fields in/out.
+
+TPU-native equivalent of the reference's AMRVAC coupling layer
+(``/root/reference/coupling_amrvac/mod_multigrid_coupling.t``):
+
+* :func:`tree_from_forest` — build a multigrid tree that contains an
+  external quadtree/octree forest plus the automatically derived coarser
+  levels (``mg_tree_from_amrvac`` :272-351).  The external forest is
+  described purely by the refinement decisions (which boxes are refined),
+  so any host AMR code can drive it.
+* :class:`HostCoupling` — field transfer between per-leaf host arrays and
+  the SoA level arrays, including the one-ghost-layer variants
+  (``mg_copy_to_tree`` :133-171, ``mg_copy_from_tree{,_gc}`` :206-267),
+  boundary-condition translation (``mg_copy_boundary_conditions``
+  :88-113), and tree rebuild on regrid (``mg_update_refinement``
+  :116-130).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import tree as tree_mod
+from ..core.constants import IPHI, BCType
+from ..core.tree import Tree
+from ..solve.multigrid import MGConfig, MGSolver
+
+#: host boundary-type names -> multigrid BCs (mod_multigrid_coupling.t:95-110)
+BC_TRANSLATION = {
+    "symm": (BCType.NEUMANN, 0.0),
+    "asymm": (BCType.DIRICHLET, 0.0),
+    "cont": (BCType.CONTINUOUS, 0.0),
+}
+
+
+def tree_from_forest(ndim: int, domain_size, box_size: int, dx, r_min,
+                     periodic, refine_fn: Callable[[int, np.ndarray], bool],
+                     max_lvl: int) -> Tree:
+    """Build a tree mirroring an external forest.
+
+    ``refine_fn(lvl, ix)`` must return True when the external forest
+    refines the box with 1-based spatial index ``ix`` at level ``lvl``
+    (this replaces the reference's direct pnode pointer walk, which is a
+    host-data-structure detail).
+    """
+    t = tree_mod.build_rectangle(ndim, domain_size, box_size, dx, r_min,
+                                 periodic)
+    for lvl in range(1, max_lvl + 1):
+        to_refine = [int(b) for b in t.lvls[lvl].ids
+                     if refine_fn(lvl, t.ix[int(b)])]
+        tree_mod.add_children_bulk(t, np.array(to_refine, dtype=np.int64))
+        tree_mod.set_leaves_parents(t, lvl)
+        if lvl < max_lvl:
+            tree_mod.set_next_level_ids(t, lvl)
+            tree_mod.set_neighbors_lvl(t, lvl + 1)
+    tree_mod.finalize_amr(t, max_lvl)
+    return t
+
+
+class HostCoupling:
+    """Bind a host AMR application to a multigrid solver."""
+
+    def __init__(self, ndim: int, domain_size, box_size: int, dx, r_min,
+                 periodic, config: Optional[MGConfig] = None):
+        self.ndim = ndim
+        self.domain_size = np.asarray(domain_size, np.int64)
+        self.box_size = box_size
+        self.dx = np.asarray(dx, float)
+        self.r_min = np.asarray(r_min, float)
+        self.periodic = periodic
+        self.config = config or MGConfig()
+        self.solver: Optional[MGSolver] = None
+        self.state = None
+        self._leaf_index: Dict[Tuple[int, Tuple[int, ...]], Tuple[int, int]] = {}
+
+    # -- tree lifecycle -------------------------------------------------
+    def update_refinement(self, refine_fn, max_lvl: int,
+                          changed: bool = True):
+        """(Re)build the tree after a host regrid
+        (mg_update_refinement, mod_multigrid_coupling.t:116-130)."""
+        if self.solver is not None and not changed:
+            return
+        tree = tree_from_forest(self.ndim, self.domain_size, self.box_size,
+                                self.dx, self.r_min, self.periodic,
+                                refine_fn, max_lvl)
+        bc_spec = self.solver.bc_spec if self.solver is not None else None
+        self.solver = MGSolver(tree, self.config)
+        if bc_spec is not None:
+            self.solver.bc_spec = bc_spec
+            self.solver._dmaps = None
+        self.state = self.solver.allocate()
+        self._build_leaf_index()
+
+    def _build_leaf_index(self):
+        """(lvl, ix) -> (lvl, loc) lookup for leaves, the analogue of the
+        reference's igrid <-> node id links."""
+        self._leaf_index.clear()
+        t = self.solver.tree
+        for lvl in [l for l in self.solver.levels if l >= 1]:
+            locs = self.solver.tree.loc_in_level(t.lvls[lvl].leaves, lvl) \
+                if len(t.lvls[lvl].leaves) else []
+            for b, loc in zip(t.lvls[lvl].leaves, locs):
+                self._leaf_index[(lvl, tuple(t.ix[int(b)]))] = (lvl, int(loc))
+
+    def set_boundary_conditions(self, type_names: Sequence[str],
+                                iv: int = IPHI):
+        """Translate host boundary names per direction
+        (mg_copy_boundary_conditions)."""
+        for nb, name in enumerate(type_names):
+            if name == "periodic":
+                continue
+            if name not in BC_TRANSLATION:
+                raise ValueError(
+                    f"'{name}' is not a standard boundary; set a "
+                    "user-defined method via solver.set_bc")
+            bc_type, value = BC_TRANSLATION[name]
+            self.solver.set_bc(iv, bc_type, value=value, nb=nb)
+        self.state = self.solver.allocate() if self.state is None else self.state
+
+    # -- field transfer -------------------------------------------------
+    def copy_to_tree(self, leaf_fields: Dict, iv: int,
+                     restrict: bool = False, restrict_gc: bool = False):
+        """Copy per-leaf host arrays (incl. one ghost layer,
+        [(nc+2)^D]) into tree variable ``iv`` (mg_copy_to_tree)."""
+        per_level: Dict[int, Tuple[List[int], List[np.ndarray]]] = {}
+        for (lvl, ix), arr in leaf_fields.items():
+            l2, loc = self._leaf_index[(lvl, tuple(ix))]
+            per_level.setdefault(l2, ([], []))
+            per_level[l2][0].append(loc)
+            per_level[l2][1].append(np.asarray(arr))
+        state = self.state
+        for lvl, (locs, arrs) in per_level.items():
+            plane = state["cc"][lvl][iv]
+            plane = plane.at[jnp.asarray(np.array(locs))].set(
+                jnp.asarray(np.stack(arrs), self.solver.cfg.dtype))
+            state = self.solver._set_plane(state, lvl, iv, plane)
+        if restrict:
+            state = self.solver.restrict(state, iv)
+            if restrict_gc:
+                state = self.solver.fill_ghost(state, iv)
+        self.state = state
+
+    def copy_from_tree(self, iv: int, with_ghosts: bool = False) -> Dict:
+        """Per-leaf arrays from tree variable ``iv``
+        (mg_copy_from_tree / mg_copy_from_tree_gc; corner ghost cells are
+        not meaningful)."""
+        out = {}
+        isl = (slice(None),) * 0
+        for (lvl, ix), (l2, loc) in self._leaf_index.items():
+            arr = np.asarray(self.state["cc"][l2][iv][loc])
+            if not with_ghosts:
+                arr = arr[(slice(1, -1),) * self.ndim]
+            out[(lvl, ix)] = arr
+        return out

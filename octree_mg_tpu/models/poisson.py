@@ -1,0 +1,117 @@
+"""High-level Poisson/Helmholtz solver models.
+
+Convenience drivers over the core MGSolver, covering the reference's test
+program workflows (tests/test_uniform_grid.f90, test_refinement.f90) as a
+library API: build tree -> set BCs -> set rhs -> solve to tolerance.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import IPHI, IRHS, BCType
+from ..core.tree import Tree, build_rectangle
+from ..solve.multigrid import MGConfig, MGSolver
+
+
+class PoissonSolver:
+    """Solve A(phi) = rhs on a uniform rectangular grid or an AMR tree.
+
+    Example::
+
+        ps = PoissonSolver(ndim=3, domain_size=(256,)*3, box_size=16)
+        ps.set_dirichlet(0.0)
+        phi, info = ps.solve(rhs_fn=lambda x: ...)
+    """
+
+    def __init__(self, ndim: int, domain_size: Sequence[int], box_size: int,
+                 dr: Optional[Sequence[float]] = None,
+                 r_min: Optional[Sequence[float]] = None,
+                 periodic: bool | Sequence[bool] = False,
+                 operator: str = "laplacian", geometry: str = "cartesian",
+                 dtype=jnp.float64, tree: Optional[Tree] = None,
+                 **cfg_kwargs):
+        domain_size = np.asarray(domain_size, np.int64)
+        if dr is None:
+            dr = 1.0 / domain_size
+        if r_min is None:
+            r_min = np.zeros(ndim)
+        if isinstance(periodic, bool):
+            periodic = [periodic] * ndim
+        if tree is None:
+            tree = build_rectangle(ndim, domain_size, box_size, dr, r_min,
+                                   periodic)
+        self.tree = tree
+        self.solver = MGSolver(tree, MGConfig(operator=operator,
+                                              geometry=geometry, dtype=dtype,
+                                              **cfg_kwargs))
+        self.state = None
+
+    # -- BCs ------------------------------------------------------------
+    def set_dirichlet(self, value=0.0, fn: Optional[Callable] = None):
+        self.solver.set_bc(IPHI, BCType.DIRICHLET, value=value, fn=fn)
+
+    def set_neumann(self, value=0.0, fn: Optional[Callable] = None):
+        self.solver.set_bc(IPHI, BCType.NEUMANN, value=value, fn=fn)
+
+    def set_continuous(self):
+        self.solver.set_bc(IPHI, BCType.CONTINUOUS)
+
+    # -- problem data ---------------------------------------------------
+    def _ensure_state(self):
+        if self.state is None:
+            self.state = self.solver.allocate()
+        return self.state
+
+    def set_rhs(self, rhs_fn: Optional[Callable] = None,
+                arrays: Optional[dict] = None):
+        """rhs from a coordinate function x[...,D]->f (evaluated on every
+        level) or explicit per-level arrays."""
+        state = self._ensure_state()
+        sv = self.solver
+        isl = (slice(None),) + (slice(1, -1),) * sv.ndim
+        for lvl in sv.levels:
+            if arrays is not None and lvl in arrays:
+                vals = jnp.asarray(arrays[lvl], sv.cfg.dtype)
+            elif rhs_fn is not None:
+                x = sv.cell_centers(lvl)
+                vals = jnp.asarray(rhs_fn(x[isl]), sv.cfg.dtype)
+            else:
+                continue
+            plane = state["cc"][lvl][IRHS].at[isl].set(vals)
+            state = sv._set_plane(state, lvl, IRHS, plane)
+        self.state = state
+
+    # -- solve ----------------------------------------------------------
+    def solve(self, lam: float = 0.0, rtol: float = 1e-8,
+              atol: float = 0.0, max_cycles: int = 50,
+              use_fmg: bool = True) -> Tuple[jnp.ndarray, dict]:
+        """Cycle until the residual drops below max(rtol*initial, atol).
+
+        Returns (top-level phi plane, info dict).
+        """
+        state = self._ensure_state()
+        sv = self.solver
+        history = []
+        res0 = None
+        for it in range(max_cycles):
+            if use_fmg:
+                state, res = sv.fas_fmg(state, lam=lam, have_guess=(it > 0))
+            else:
+                state, res = sv.fas_vcycle(state, lam=lam)
+            r = float(res)
+            history.append(r)
+            if res0 is None:
+                res0 = max(r, 1e-300)
+            if r < max(rtol * res0, atol):
+                break
+        self.state = state
+        top = sv.levels[-1]
+        return state["cc"][top][IPHI], {"residuals": history,
+                                        "cycles": len(history)}
+
+    def phi(self, lvl: Optional[int] = None) -> np.ndarray:
+        lvl = self.solver.levels[-1] if lvl is None else lvl
+        return np.asarray(self.state["cc"][lvl][IPHI])

@@ -75,10 +75,15 @@ def fill_ghost_lvl(cc_lvl: jnp.ndarray, cc_coarse: Optional[jnp.ndarray],
         rb_cidx}...]}.
       static: {"nc": int, "ndim": int, "mp": [..], "mr": [..]}.
       bc_static: per direction {"c0","c1","c2"} floats for this variable.
-      bc_vals: per direction [mp, face] raw boundary values b (for IPHI the
-        solver passes state-held arrays so e.g. the free-space driver can
-        update them); None -> treated as zeros except via c0 in bc_static
-        ("const" key holding c0*b_scalar).
+      bc_vals: per direction full-face [n, face] raw boundary values b
+        (zeros away from physical faces; for IPHI the solver passes
+        state-held arrays so e.g. the free-space driver can update them);
+        None -> scalar value via bc_static["value"].
+
+    Scatter-free on uniform grids: physical faces are blended with a
+    dense ``where`` over precomputed masks (XLA scatters would dominate
+    compile time at scale); only AMR refinement-boundary faces use a
+    row scatter.
     """
     D = static["ndim"]
     nc = static["nc"]
@@ -96,24 +101,26 @@ def fill_ghost_lvl(cc_lvl: jnp.ndarray, cc_coarse: Optional[jnp.ndarray],
         faces = v[src_sl]
         gathered = faces[dm["nb_loc"]]
         mshape = (-1,) + (1,) * (D - 1)
-        cur = v[gh_sl]
-        newface = jnp.where(dm["has_nb"].reshape(mshape), gathered, cur)
-        v = v.at[gh_sl].set(newface)
+        newface = jnp.where(dm["has_nb"].reshape(mshape), gathered,
+                            v[gh_sl])
 
-        # physical boundaries
+        # physical boundaries: dense masked blend
         mp = static["mp"][nb]
         if mp > 0:
             bs = bc_static[nb]
-            x1 = v[in1_sl][dm["phys_loc"]]
-            x2 = v[in2_sl][dm["phys_loc"]]
+            x1 = v[in1_sl]
+            x2 = v[in2_sl] if bs["c2"] != 0.0 else 0.0
             if bc_vals is not None:
                 const = bs["c0"] * bc_vals[nb]
             else:
-                const = bs["const"]
+                const = bs["c0"] * bs["value"]
             ghost_p = const + bs["c1"] * x1 + bs["c2"] * x2
-            v = v.at[(dm["phys_loc"],) + gh_sl[1:]].set(ghost_p)
+            newface = jnp.where(dm["is_phys"].reshape(mshape), ghost_p,
+                                newface)
 
-        # refinement boundaries
+        v = v.at[gh_sl].set(newface)
+
+        # refinement boundaries (AMR only): row scatter
         mr = static["mr"][nb]
         if mr > 0:
             cflat = cc_coarse[iv].reshape(-1)

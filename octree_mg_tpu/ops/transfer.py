@@ -85,8 +85,11 @@ def restrict_to_coarse(fine_plane: jnp.ndarray, coarse_plane: jnp.ndarray,
         vals = _assemble_children(avg, ndim)
     else:
         vals = avg
+    isl = (slice(None),) + (slice(1, -1),) * ndim
+    if static_f["parents_identity"]:
+        return coarse_plane.at[isl].set(vals)
     ploc = dmaps_f["parent_locs"]
-    return coarse_plane.at[(ploc,) + (slice(1, -1),) * ndim].set(vals)
+    return coarse_plane.at[(ploc,) + isl[1:]].set(vals)
 
 
 def _interleave(a: jnp.ndarray, b: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -151,8 +154,10 @@ def prolong_from_coarse(coarse_plane: jnp.ndarray, dmaps_f: Dict,
     ndim = static_f["ndim"]
     nc = static_f["nc"]
     h = nc // 2
-    ploc = dmaps_f["parent_locs"]
-    P = coarse_plane[ploc]  # [n_p, (nc_c+2)^D]
+    if static_f["parents_identity"]:
+        P = coarse_plane
+    else:
+        P = coarse_plane[dmaps_f["parent_locs"]]  # [n_p, (nc_c+2)^D]
     if not static_f["multi_child"]:
         # single child: whole parent incl. ghost layer is the strip
         return _prolong_block(P, ndim)

@@ -249,6 +249,10 @@ class FreeSpacePoisson3D:
                 w11 = jnp.asarray((1 - lf_f) * (1 - lf_s))
                 v = (w00 * p[ps, pf] + w10 * p[ps, pf + 1]
                      + w01 * p[ps + 1, pf] + w11 * p[ps + 1, pf + 1])
-                vals[nb] = v.astype(sv.cfg.dtype)
+                # scatter into the full-face bc array (eager, once/solve)
+                full = jnp.zeros_like(vals[nb])
+                full = full.at[jnp.asarray(m.dirs[nb].phys_loc)].set(
+                    v.astype(sv.cfg.dtype))
+                vals[nb] = full
             state["bc"][lvl] = vals
         return state

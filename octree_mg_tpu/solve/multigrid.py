@@ -49,6 +49,16 @@ class MGConfig:
     residual_coarse_rel: float = 1e-8
     n_extra_vars: int = 0
     dtype: object = jnp.float64
+    #: donate the state buffers to the jitted cycle drivers (halves HBM
+    #: footprint; the caller must rebind ``state = f(state)`` and never
+    #: reuse the donated pytree)
+    donate: bool = False
+    #: "split" compiles FMG as per-level programs (fast compile, one
+    #: dispatch per level — right when dispatch is cheap or the tree is
+    #: deep); "fused" compiles the whole FMG into one program (minimal
+    #: dispatch overhead, heavy one-time compile — right for production
+    #: serving of one configuration)
+    fmg_mode: str = "split"
 
 
 class MGSolver:
@@ -95,6 +105,15 @@ class MGSolver:
         self.static: Dict[int, Dict] = {}
         for lvl in self.levels:
             m = self.maps[lvl]
+            # uniform levels: every coarse box is a parent in id order, so
+            # parent indexing degenerates to the identity and restriction/
+            # prolongation need no gather/scatter
+            parents_identity = (
+                m.parent_locs is not None
+                and lvl - 1 >= t.lowest_lvl
+                and len(m.parent_locs) == len(t.lvls[lvl - 1].ids)
+                and bool(np.array_equal(m.parent_locs,
+                                        np.arange(len(m.parent_locs)))))
             self.static[lvl] = {
                 "ndim": self.ndim,
                 "nc": m.nc,
@@ -104,6 +123,8 @@ class MGSolver:
                 "multi_child": m.multi_child,
                 "idr2": tuple(float(x) for x in 1.0 / t.dr[lvl] ** 2),
                 "dr": tuple(float(x) for x in t.dr[lvl]),
+                "parents_identity": parents_identity,
+                "leaves_all": len(t.lvls[lvl].leaves) == len(t.lvls[lvl].ids),
             }
 
     def _build_bc_defaults(self):
@@ -150,9 +171,12 @@ class MGSolver:
             m = self.maps[lvl]
             dirs = []
             for d in m.dirs:
+                is_phys = np.zeros(m.n_boxes, dtype=bool)
+                is_phys[d.phys_loc] = True
                 dirs.append({
                     "nb_loc": jnp.asarray(d.nb_loc),
                     "has_nb": jnp.asarray(d.has_nb),
+                    "is_phys": jnp.asarray(is_phys),
                     "phys_loc": jnp.asarray(d.phys_loc),
                     "rb_loc": jnp.asarray(d.rb_loc),
                     "rb_cidx": (jnp.asarray(d.rb_cidx)
@@ -204,10 +228,8 @@ class MGSolver:
             spec = self.bc_spec[iv][nb]
             d = topo.neighb_dim(nb)
             c0, c1, c2 = ghost_ops.bc_coeffs(spec["type"], st["dr"][d], nb)
-            e = {"c0": c0, "c1": c1, "c2": c2}
-            if iv != IPHI:
-                e["const"] = c0 * spec["value"]
-            out.append(e)
+            out.append({"c0": c0, "c1": c1, "c2": c2,
+                        "value": spec["value"]})
         return out
 
     # ------------------------------------------------------------------
@@ -228,20 +250,26 @@ class MGSolver:
 
     def _eval_bc_values(self, lvl: int) -> List[jnp.ndarray]:
         """Evaluate IPHI boundary values on physical faces (cf.
-        mg_phi_bc_store, m_ghost_cells.f90:66-117)."""
+        mg_phi_bc_store, m_ghost_cells.f90:66-117).  Stored as full-face
+        [n_boxes, nc^(D-1)] arrays (zeros away from physical faces) so
+        the hot ghost fill needs no scatter."""
         out = []
         m = self.maps[lvl]
+        st = self.static[lvl]
         dt = self.cfg.dtype
+        fshape = (st["nc"],) * (self.ndim - 1) if self.ndim > 1 else ()
         for nb in range(topo.num_neighbors(self.ndim)):
             spec = self.bc_spec[IPHI][nb]
+            full = np.zeros((st["n_boxes"],) + fshape)
             coords = m.phys_face_coords[nb]  # [mp, (nc,)*(D-1), D]
-            if coords.shape[0] == 0:
-                vals = np.zeros(coords.shape[:-1])
-            elif spec["fn"] is not None:
-                vals = np.asarray(spec["fn"](coords))
-            else:
-                vals = np.full(coords.shape[:-1], spec["value"])
-            out.append(jnp.asarray(vals, dt))
+            if coords.shape[0] > 0:
+                if spec["fn"] is not None:
+                    vals = np.asarray(spec["fn"](coords))
+                else:
+                    vals = np.full(coords.shape[:-1], spec["value"])
+                full[m.dirs[nb].phys_loc] = vals.reshape(
+                    (len(m.dirs[nb].phys_loc),) + fshape)
+            out.append(jnp.asarray(full, dt))
         return out
 
     def cell_centers(self, lvl: int) -> np.ndarray:
@@ -337,10 +365,14 @@ class MGSolver:
         cc_c = state["cc"][lvl - 1]
         ctx_c = self._op_ctx(lvl - 1, dmaps)
         a_phi = kernels.op_apply(self.cfg.operator, ctx_c, cc_c, lam)
-        ploc = dmaps[lvl]["parent_locs"]
-        rhs_new = cc_c[IRHS].at[(ploc,) + isl[1:]].set(
-            a_phi[ploc] + cc_c[IRES][(ploc,) + isl[1:]])
-        iold_new = cc_c[IOLD].at[ploc].set(cc_c[IPHI][ploc])
+        if self.static[lvl]["parents_identity"]:
+            rhs_new = cc_c[IRHS].at[isl].set(a_phi + cc_c[IRES][isl])
+            iold_new = cc_c[IPHI]
+        else:
+            ploc = dmaps[lvl]["parent_locs"]
+            rhs_new = cc_c[IRHS].at[(ploc,) + isl[1:]].set(
+                a_phi[ploc] + cc_c[IRES][(ploc,) + isl[1:]])
+            iold_new = cc_c[IOLD].at[ploc].set(cc_c[IPHI][ploc])
         cc_c = cc_c.at[IRHS].set(rhs_new).at[IOLD].set(iold_new)
         state = dict(state)
         state["cc"] = dict(state["cc"])
@@ -393,9 +425,13 @@ class MGSolver:
         for lvl in [l for l in self.levels if l >= 1]:
             st = self.static[lvl]
             w = float(np.prod(t.dr[lvl]))
-            leaf = dmaps[lvl]["leaf_locs"]
-            interior = state["cc"][lvl][iv][
-                (leaf,) + (slice(1, -1),) * self.ndim]
+            if st["leaves_all"]:
+                interior = state["cc"][lvl][iv][
+                    (slice(None),) + (slice(1, -1),) * self.ndim]
+            else:
+                leaf = dmaps[lvl]["leaf_locs"]
+                interior = state["cc"][lvl][iv][
+                    (leaf,) + (slice(1, -1),) * self.ndim]
             total = total + w * jnp.sum(interior)
         nc1 = t.box_size_lvl[1]
         volume = nc1 ** self.ndim * float(np.prod(t.dr[1])) \
@@ -511,24 +547,65 @@ class MGSolver:
                                     cc[i_out].at[isl].set(out))
         return state
 
+    def _fmg_prepare(self, state, dmaps, lam, have_guess: bool):
+        """FMG preamble: optional zero guess, top ghost fill, full
+        restriction of the problem, periodic mean removal
+        (m_multigrid.f90:95-117)."""
+        min_lvl, top = self.levels[0], self.levels[-1]
+        if not have_guess:
+            for lvl in self.levels:
+                state = self._set_plane(
+                    state, lvl, IPHI,
+                    jnp.zeros_like(state["cc"][lvl][IPHI]))
+        state = self._fill_ghost_lvl(state, dmaps, top, IPHI)
+        for lvl in range(top, min_lvl, -1):
+            state = self._update_coarse(state, dmaps, lvl, lam)
+        if self.subtract_mean:
+            state = self._subtract_mean(state, dmaps, IRHS, False)
+        return state
+
+    def _fmg_level_step(self, state, dmaps, lvl: int):
+        """Per-level FMG step before the V-cycle: store iold, correct from
+        below, refill ghosts (m_multigrid.f90:119-136)."""
+        state = self._set_plane(state, lvl, IOLD, state["cc"][lvl][IPHI])
+        if lvl > self.levels[0]:
+            state = self._correct_children(state, dmaps, lvl - 1)
+            state = self._fill_ghost_lvl(state, dmaps, lvl, IPHI)
+        return state
+
     # ------------------------------------------------------------------
-    # public jitted entry points
+    # public jitted entry points.  FMG is assembled from per-level jitted
+    # programs rather than one fully inlined graph: the inlined form is
+    # O(levels^2) HLO and compiles pathologically at 512^3, while the
+    # split form reuses the V-cycle executables across calls.
     # ------------------------------------------------------------------
+    def _donate(self):
+        return (0,) if self.cfg.donate else ()
+
     @functools.cached_property
     def _jit_vcycle(self):
         @functools.partial(jax.jit, static_argnames=("max_lvl", "standalone",
-                                                     "need_res"))
+                                                     "need_res"),
+                           donate_argnums=self._donate())
         def f(state, dmaps, lam, max_lvl, standalone, need_res):
             return self._vcycle(state, dmaps, lam, max_lvl, standalone,
                                 need_res)
         return f
 
     @functools.cached_property
-    def _jit_fmg(self):
-        @functools.partial(jax.jit, static_argnames=("have_guess",
-                                                     "need_res"))
-        def f(state, dmaps, lam, have_guess, need_res):
-            return self._fmg(state, dmaps, lam, have_guess, need_res)
+    def _jit_fmg_prepare(self):
+        @functools.partial(jax.jit, static_argnames=("have_guess",),
+                           donate_argnums=self._donate())
+        def f(state, dmaps, lam, have_guess):
+            return self._fmg_prepare(state, dmaps, lam, have_guess)
+        return f
+
+    @functools.cached_property
+    def _jit_fmg_level_step(self):
+        @functools.partial(jax.jit, static_argnames=("lvl",),
+                           donate_argnums=self._donate())
+        def f(state, dmaps, lvl):
+            return self._fmg_level_step(state, dmaps, lvl)
         return f
 
     def fas_vcycle(self, state, lam=0.0, max_lvl=None, need_res=True):
@@ -537,11 +614,37 @@ class MGSolver:
         return self._jit_vcycle(state, dmaps, lam, max_lvl=max_lvl,
                                 standalone=True, need_res=need_res)
 
+    @functools.cached_property
+    def _jit_fmg_fused(self):
+        @functools.partial(jax.jit, static_argnames=("have_guess",
+                                                     "need_res"),
+                           donate_argnums=self._donate())
+        def f(state, dmaps, lam, have_guess, need_res):
+            return self._fmg(state, dmaps, lam, have_guess, need_res)
+        return f
+
     def fas_fmg(self, state, lam=0.0, have_guess=False, need_res=True):
+        """mg_fas_fmg, assembled from jitted per-level programs (or one
+        fused program, cfg.fmg_mode)."""
         dmaps = self._to_device()
         lam = jnp.asarray(lam, self.cfg.dtype)
-        return self._jit_fmg(state, dmaps, lam, have_guess=have_guess,
-                             need_res=need_res)
+        if self.cfg.fmg_mode == "fused":
+            return self._jit_fmg_fused(state, dmaps, lam,
+                                       have_guess=have_guess,
+                                       need_res=need_res)
+        top = self.levels[-1]
+        state = self._jit_fmg_prepare(state, dmaps, lam,
+                                      have_guess=have_guess)
+        res = jnp.asarray(0.0, self.cfg.dtype)
+        for lvl in self.levels:
+            state = self._jit_fmg_level_step(state, dmaps, lvl=lvl)
+            last = lvl == top
+            state, r = self._jit_vcycle(state, dmaps, lam, max_lvl=lvl,
+                                        standalone=False,
+                                        need_res=(need_res and last))
+            if last:
+                res = r
+        return state, res
 
     def fill_ghost(self, state, iv: int = IPHI, lvl: Optional[int] = None):
         dmaps = self._to_device()

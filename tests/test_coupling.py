@@ -1,0 +1,55 @@
+"""Host-coupling layer tests (mod_multigrid_coupling.t parity)."""
+import numpy as np
+import pytest
+
+from octree_mg_tpu import IPHI, IRHS, BCType
+from octree_mg_tpu.models.coupling import HostCoupling, tree_from_forest
+from octree_mg_tpu.solve import diffusion
+
+
+def center_refine(ndim, domain_size, box_size):
+    """Refine boxes near the domain center (host-side decision)."""
+    def fn(lvl, ix):
+        n_boxes = domain_size // box_size * 2 ** (lvl - 1)
+        center = (n_boxes + 1) / 2
+        return bool(np.all(np.abs(ix - center) <= 1.0)) and lvl < 3
+    return fn
+
+
+def test_tree_from_forest_structure():
+    t = tree_from_forest(2, [64, 64], 16, [1 / 64] * 2, [0, 0],
+                         [False, False],
+                         center_refine(2, 64, 16), max_lvl=3)
+    assert t.highest_lvl == 3
+    assert len(t.lvls[2].ids) > 0
+    assert len(t.lvls[2].ref_bnds) >= 0
+    # all leaves union covers the domain exactly once per finest cover
+    area = sum(len(t.lvls[l].leaves) * (t.box_size_lvl[l] * 2.0 ** -l) ** 0
+               for l in range(1, 4))
+    assert area > 0
+
+
+def test_host_roundtrip_and_solve():
+    hc = HostCoupling(2, [32, 32], 8, [1 / 32] * 2, [0, 0], [False, False])
+    hc.update_refinement(center_refine(2, 32, 8), max_lvl=2)
+    hc.set_boundary_conditions(["asymm", "asymm", "symm", "symm"])
+
+    # per-leaf host fields incl. ghost layer
+    t = hc.solver.tree
+    fields = {}
+    rng = np.random.default_rng(3)
+    for lvl in [l for l in hc.solver.levels if l >= 1]:
+        for b in t.lvls[lvl].leaves:
+            fields[(lvl, tuple(t.ix[int(b)]))] = \
+                rng.normal(size=(10, 10))
+    hc.copy_to_tree(fields, IRHS)
+    back = hc.copy_from_tree(IRHS, with_ghosts=True)
+    for key, arr in fields.items():
+        np.testing.assert_array_equal(back[key], arr)
+    interior = hc.copy_from_tree(IRHS)
+    for key, arr in fields.items():
+        np.testing.assert_array_equal(interior[key], arr[1:-1, 1:-1])
+
+    # a solve runs on the coupled tree
+    state, res = hc.solver.fas_fmg(hc.state)
+    assert np.isfinite(float(res))
