@@ -42,8 +42,12 @@ def run(size, box, n_its=5, dtype_name="float32"):
     _jax.config.update("jax_compilation_cache_dir",
                        os.environ["JAX_COMPILATION_CACHE_DIR"])
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # fused = one XLA program per FMG (lowest dispatch overhead) but its
+    # compile time grows steeply with level count; beyond 256^3 use the
+    # split per-level programs (compile scales, ~10% dispatch overhead)
+    mode = "fused" if size <= 256 else "split"
     solver = MGSolver(tree, MGConfig(operator="laplacian", dtype=dtype,
-                                     donate=True, fmg_mode="fused"))
+                                     donate=True, fmg_mode=mode))
     state = solver.allocate()
 
     # random rhs on the top level, generated on-device (a host->device

@@ -34,6 +34,33 @@ from ..ops import kernels
 from ..ops import transfer
 
 
+_cache_enabled = False
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (~/.cache/octree_mg_tpu_xla or
+    $JAX_COMPILATION_CACHE_DIR).  Cycle-driver programs are large and TPU
+    compile times run into minutes; caching makes them one-time."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    import os
+    try:
+        if jax.default_backend() == "cpu":
+            # CPU compiles are fast and AOT cache entries are machine-
+            # feature sensitive (SIGILL risk across heterogeneous hosts)
+            return
+        path = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "octree_mg_tpu_xla"))
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 @dataclasses.dataclass
 class MGConfig:
     """Runtime configuration (the reference's mg_t public fields,
@@ -73,6 +100,7 @@ class MGSolver:
     """
 
     def __init__(self, tree: Tree, config: Optional[MGConfig] = None):
+        _enable_compilation_cache()
         self.tree = tree
         self.cfg = config or MGConfig()
         cfg = self.cfg
@@ -91,10 +119,19 @@ class MGSolver:
         self.n_vars = NUM_VARS + cfg.n_extra_vars
         self.subtract_mean = tree.subtract_mean and cfg.operator == "laplacian"
 
+        from ..utils.timers import Timers
+        #: named phase timers (mg_add_timers, m_multigrid.f90:72-81);
+        #: whole-cycle granularity — XLA fuses the phases inside one
+        #: program, so per-phase splits come from utils.timers.trace
+        self.timers = Timers()
         self.maps = indexmaps.build_all_maps(tree)
         self._build_static()
         self._build_bc_defaults()
         self._dmaps = None  # built lazily (after BCs are final)
+        #: pluggable prolongation (the reference's mg%box_prolong pointer,
+        #: m_data_structures.f90:335-336): signature
+        #: (coarse_plane, dmaps_f, static_f) -> fine interior values
+        self.box_prolong = transfer.prolong_from_coarse
 
     # ------------------------------------------------------------------
     # setup
@@ -399,19 +436,18 @@ class MGSolver:
         layer participates in the interpolation, as in the reference."""
         cc_c = state["cc"][lvl]
         corr = cc_c[IPHI] - cc_c[IOLD]
-        vals = transfer.prolong_from_coarse(corr, dmaps[lvl + 1],
-                                            self.static[lvl + 1])
+        vals = self.box_prolong(corr, dmaps[lvl + 1], self.static[lvl + 1])
         isl = (slice(None),) + (slice(1, -1),) * self.ndim
         phi_f = state["cc"][lvl + 1][IPHI]
         phi_f = phi_f.at[isl].add(vals)
         return self._set_plane(state, lvl + 1, IPHI, phi_f)
 
     def prolong_lvl(self, state, dmaps, lvl: int, iv: int, iv_to: int,
-                    add: bool):
+                    add: bool, method=None):
         """mg_prolong from lvl onto lvl+1 (m_prolong.f90:51-85)."""
-        vals = transfer.prolong_from_coarse(state["cc"][lvl][iv],
-                                            dmaps[lvl + 1],
-                                            self.static[lvl + 1])
+        method = method or self.box_prolong
+        vals = method(state["cc"][lvl][iv], dmaps[lvl + 1],
+                      self.static[lvl + 1])
         isl = (slice(None),) + (slice(1, -1),) * self.ndim
         plane = state["cc"][lvl + 1][iv_to]
         plane = plane.at[isl].add(vals) if add else plane.at[isl].set(vals)
@@ -611,8 +647,10 @@ class MGSolver:
     def fas_vcycle(self, state, lam=0.0, max_lvl=None, need_res=True):
         dmaps = self._to_device()
         lam = jnp.asarray(lam, self.cfg.dtype)
-        return self._jit_vcycle(state, dmaps, lam, max_lvl=max_lvl,
-                                standalone=True, need_res=need_res)
+        with self.timers.section("total V-cycle"):
+            out = self._jit_vcycle(state, dmaps, lam, max_lvl=max_lvl,
+                                   standalone=True, need_res=need_res)
+        return out
 
     @functools.cached_property
     def _jit_fmg_fused(self):
@@ -629,21 +667,27 @@ class MGSolver:
         dmaps = self._to_device()
         lam = jnp.asarray(lam, self.cfg.dtype)
         if self.cfg.fmg_mode == "fused":
-            return self._jit_fmg_fused(state, dmaps, lam,
-                                       have_guess=have_guess,
-                                       need_res=need_res)
+            with self.timers.section("total FMG cycle"):
+                return self._jit_fmg_fused(state, dmaps, lam,
+                                           have_guess=have_guess,
+                                           need_res=need_res)
         top = self.levels[-1]
-        state = self._jit_fmg_prepare(state, dmaps, lam,
-                                      have_guess=have_guess)
-        res = jnp.asarray(0.0, self.cfg.dtype)
-        for lvl in self.levels:
-            state = self._jit_fmg_level_step(state, dmaps, lvl=lvl)
-            last = lvl == top
-            state, r = self._jit_vcycle(state, dmaps, lam, max_lvl=lvl,
-                                        standalone=False,
-                                        need_res=(need_res and last))
-            if last:
-                res = r
+        with self.timers.section("total FMG cycle"):
+            with self.timers.section("fmg update coarse"):
+                state = self._jit_fmg_prepare(state, dmaps, lam,
+                                              have_guess=have_guess)
+            res = jnp.asarray(0.0, self.cfg.dtype)
+            for lvl in self.levels:
+                with self.timers.section("fmg correct"):
+                    state = self._jit_fmg_level_step(state, dmaps, lvl=lvl)
+                last = lvl == top
+                with self.timers.section(f"fmg v-cycle lvl {lvl}"):
+                    state, r = self._jit_vcycle(state, dmaps, lam,
+                                                max_lvl=lvl,
+                                                standalone=False,
+                                                need_res=(need_res and last))
+                if last:
+                    res = r
         return state, res
 
     def fill_ghost(self, state, iv: int = IPHI, lvl: Optional[int] = None):

@@ -178,3 +178,23 @@ def test_helmholtz_lambda_shift():
     diff = np.asarray(s0["cc"][top][IRES])[isl] \
         - np.asarray(s1["cc"][top][IRES])[isl]
     np.testing.assert_allclose(diff, 3.0 * phi[isl], rtol=1e-12)
+
+
+def test_jacobi_smoother_converges():
+    """Damped Jacobi smoother mode (the reference's commented kernel,
+    m_laplacian.f90:116-152) drives the V-cycle to convergence."""
+    import jax.numpy as jnp
+    solver = make_solver(2, 64, 16, smoother="jacobi")
+    state = solver.allocate()
+    top = solver.levels[-1]
+    rng = np.random.default_rng(7)
+    isl = (slice(None),) + (slice(1, -1),) * 2
+    rhs = np.zeros(np.asarray(state["cc"][top][IRHS]).shape)
+    rhs[isl] = rng.normal(size=rhs[isl].shape)
+    state["cc"][top] = state["cc"][top].at[IRHS].set(jnp.asarray(rhs))
+    res = []
+    for _ in range(8):
+        state, r = solver.fas_vcycle(state)
+        res.append(float(r))
+    # damped Jacobi converges more slowly than GSRB but steadily
+    assert res[-1] < res[0] * 1e-4
