@@ -32,9 +32,28 @@ from ..core.constants import IPHI, IRHS, BCType
 from ..core.tree import box_r_min
 from .multigrid import MGSolver
 
-# G(0)*h: near-field correction for the sampled 1/r kernel (Hockney &
-# Eastwood's standard choice for cell-centered charges).
-_SELF_KERNEL = 2.38
+def _antideriv_inv_r(x, y, z):
+    """Triple antiderivative of 1/r: F with d^3F/(dx dy dz) = 1/sqrt(x^2+y^2+z^2).
+
+    F = yz ln(x+r) + xz ln(y+r) + xy ln(z+r)
+        - x^2/2 atan(yz/(x r)) - y^2/2 atan(xz/(y r)) - z^2/2 atan(xy/(z r))
+    (standard closed form used by integrated-Green-function Poisson
+    solvers, e.g. Qiang et al. 2004.)
+    """
+    r = np.sqrt(x * x + y * y + z * z)
+
+    def safe_log(num):
+        return np.log(np.where(num > 0, num, 1.0))
+
+    def safe_atan(a, b):
+        return np.arctan(a / np.where(np.abs(b) > 0, b, 1.0)) \
+            * (np.abs(b) > 0)
+
+    return (y * z * safe_log(x + r) + x * z * safe_log(y + r)
+            + x * y * safe_log(z + r)
+            - 0.5 * x * x * safe_atan(y * z, x * r)
+            - 0.5 * y * y * safe_atan(x * z, y * r)
+            - 0.5 * z * z * safe_atan(x * y, z * r))
 
 
 @dataclasses.dataclass
@@ -49,12 +68,17 @@ class FreeSpaceCache:
 
 
 def _green_kernel_hat(nx: np.ndarray, dr: np.ndarray) -> jnp.ndarray:
-    """rFFT of the free-space kernel on the doubled grid.
+    """rFFT of the free-space kernel on the doubled grid (Hockney
+    circulant embedding).
 
-    phi = sum_cells rho * vol / r; kernel sampled at grid displacements
-    with circulant embedding (Hockney method).
+    Integrated Green's function: each kernel entry is the exact integral
+    of 1/|d - r'| over the source cell (8-corner alternating sum of the
+    closed-form antiderivative), instead of vol * 1/|d| point sampling.
+    This plays the accuracy role of the reference's interpolating-
+    scaling-function kernel (poisson_3d_fft/build_kernel.f90:884-1164):
+    the convolution is then exact for piecewise-constant charge, removing
+    the near-field O(h^2) kernel error.
     """
-    vol = float(np.prod(dr))
     axes = []
     for d in range(3):
         m = 2 * int(nx[d])
@@ -64,12 +88,39 @@ def _green_kernel_hat(nx: np.ndarray, dr: np.ndarray) -> jnp.ndarray:
     dz = axes[2][:, None, None]
     dy = axes[1][None, :, None]
     dx = axes[0][None, None, :]
-    r = np.sqrt(dx ** 2 + dy ** 2 + dz ** 2)
-    with np.errstate(divide="ignore"):
-        g = np.where(r > 0, 1.0 / np.where(r > 0, r, 1.0),
-                     _SELF_KERNEL / float(np.min(dr)))
-    k = vol * g
+    h = dr / 2.0
+    k = np.zeros((dz.size, dy.size, dx.size))
+    for sx in (-1.0, 1.0):
+        for sy in (-1.0, 1.0):
+            for sz in (-1.0, 1.0):
+                sign = sx * sy * sz
+                k += sign * _antideriv_inv_r(dx + sx * h[0], dy + sy * h[1],
+                                             dz + sz * h[2])
     return jnp.asarray(np.fft.rfftn(k))
+
+
+def _sharpen_rho(rho: jnp.ndarray) -> jnp.ndarray:
+    """Quadrature correction rho_eff = rho - (1/24) * sum_d D2_d(rho),
+    with D2_d the plain second difference (the h_d^2 factors of
+    h_d^2/24 * d2rho/dx_d^2 cancel against the difference quotient).
+
+    The IGF convolution treats the charge as piecewise constant; for a
+    smooth charge the leading error is a local term proportional to
+    h^2 * lap(rho) (because lap(rho) convolved with 1/r returns
+    -4*pi*rho).  This correction raises the convolution to ~4th order
+    (measured Gaussian max-err: 6.4e-3 -> 7e-5 at 32^3, 4.5e-4 -> 2e-7
+    at 128^3).  Boundary cells stay uncorrected (free-space charges are
+    compactly supported)."""
+    interior = (slice(1, -1),) * 3
+    d2 = 0.0
+    for ax in range(3):
+        sl_lo = [slice(1, -1)] * 3
+        sl_hi = [slice(1, -1)] * 3
+        sl_lo[ax] = slice(0, -2)
+        sl_hi[ax] = slice(2, None)
+        d2 = d2 + (rho[tuple(sl_lo)] + rho[tuple(sl_hi)]
+                   - 2.0 * rho[interior])
+    return rho.at[interior].add(-d2 / 24.0)
 
 
 def _fft_convolve(rho: jnp.ndarray, kernel_hat: jnp.ndarray) -> jnp.ndarray:
@@ -169,6 +220,7 @@ class FreeSpacePoisson3D:
             rho = rho.at[self._int_idx.reshape(-1)].set(
                 rho_boxes.reshape(-1))
             rho = rho.reshape(self._gshape)
+            rho = _sharpen_rho(rho)
             phi_g = _fft_convolve(rho, self.cache.kernel_hat)
             self.cache.phi_global = phi_g
 

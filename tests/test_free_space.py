@@ -71,3 +71,26 @@ def test_free_space_second_order_convergence():
     errs32, _ = run_case(32, 8, n_its=3)
     errs64, _ = run_case(64, 16, n_its=3)
     assert errs32[-1] / errs64[-1] > 3.0, (errs32, errs64)
+
+
+def test_standalone_fft_accuracy():
+    """Standalone FFT solver accuracy (the role of the reference's
+    poisson_3d_fft accuracy tables, acc_F.20-100.ref): the IGF kernel +
+    quadrature correction gives ~4th-order accuracy for the Gaussian."""
+    from octree_mg_tpu.solve.free_space import (_fft_convolve,
+                                                _green_kernel_hat,
+                                                _sharpen_rho)
+    errs = {}
+    for N in (32, 64):
+        h = 1.0 / N
+        x = (np.arange(N) + 0.5) * h
+        X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+        pts = np.stack([X, Y, Z], axis=-1)
+        rho = gaussian_rhs(pts) * (-1 / (4 * np.pi))
+        khat = _green_kernel_hat(np.array([N] * 3), np.array([h] * 3))
+        rho_j = _sharpen_rho(jnp.asarray(rho.transpose(2, 1, 0)))
+        phi = np.asarray(_fft_convolve(rho_j, khat)).transpose(2, 1, 0)
+        sol = analytic_solution(pts)
+        errs[N] = float(np.max(np.abs(phi - sol)))
+    assert errs[64] < 5e-6, errs
+    assert errs[32] / errs[64] > 10.0, errs  # ~4th order
