@@ -169,7 +169,7 @@ def build_level_maps(tree: Tree, lvl: int) -> LevelMaps:
                     indexing="ij") if D > 1 else []
                 idx_per_axis: List[np.ndarray] = []
                 gi = 0
-                tshape = (hnc + 2,) * (D - 1) if D > 1 else ()
+                tshape = (hnc + 2,) * (D - 1) if D > 1 else (1,)
                 for dd in reversed(range(D)):  # slow->fast spatial axes
                     if dd == d:
                         idx_per_axis.append(np.full(tshape, norm_idx, np.int64))
