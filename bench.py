@@ -12,6 +12,14 @@ iteration; at the ~10-20 GB/s effective per-core bandwidth of a typical
 16-core MPI node this bounds throughput to O(1e7) unknowns/s/core, i.e.
 ~2e8/node.  vs_baseline is reported against that estimate.
 
+Measurement integrity: on this tunneled runtime ``block_until_ready``
+returns before remote execution completes, so the timed region ends with
+a device->host scalar read of the final residual — the only reliable
+barrier.  Per-program dispatch overhead is ~2-3 ms here, hence the fused
+single-program FMG mode.  Measured effective HBM bandwidth of this chip
+is ~150-385 GB/s (simple elementwise/reduction probes), which bounds the
+achievable throughput of this bandwidth-limited workload.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
@@ -42,10 +50,11 @@ def run(size, box, n_its=5, dtype_name="float32"):
     _jax.config.update("jax_compilation_cache_dir",
                        os.environ["JAX_COMPILATION_CACHE_DIR"])
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    # fused = one XLA program per FMG (lowest dispatch overhead) but its
-    # compile time grows steeply with level count; beyond 256^3 use the
-    # split per-level programs (compile scales, ~10% dispatch overhead)
-    mode = "fused" if size <= 256 else "split"
+    # fused = one XLA program per FMG: lowest dispatch overhead (the
+    # remote-TPU tunnel costs ~0.35 ms per dispatch, which dominates the
+    # split mode's ~11 dispatches/FMG); heavy one-time compile, made
+    # one-time by the persistent cache
+    mode = "fused"
     solver = MGSolver(tree, MGConfig(operator="laplacian", dtype=dtype,
                                      donate=True, fmg_mode=mode))
     state = solver.allocate()
@@ -59,21 +68,23 @@ def run(size, box, n_its=5, dtype_name="float32"):
     rhs = jax.random.normal(key, (n, nc + 2, nc + 2, nc + 2), dtype)
     state["cc"][top] = state["cc"][top].at[IRHS].set(rhs)
 
-    # warmup/compile
+    # warmup/compile; the device->host scalar read is the only reliable
+    # execution barrier on tunneled runtimes (block_until_ready can
+    # return before remote execution finishes)
     state, res0 = solver.fas_fmg(state, have_guess=True)
-    jax.block_until_ready(res0)
+    r0 = float(res0)
 
     t0 = time.perf_counter()
     for _ in range(n_its):
         state, res = solver.fas_fmg(state, have_guess=True)
-    jax.block_until_ready(res)
+    r1 = float(res)  # sync
     dt = time.perf_counter() - t0
 
     n_boxes = sum(solver.static[l]["n_boxes"] for l in solver.levels)
     unknowns = float(n_boxes) * box ** 3
     ups = unknowns * n_its / dt
-    converged = float(res) < float(res0)
-    return ups, dt / n_its, converged, float(res0), float(res)
+    converged = r1 < r0
+    return ups, dt / n_its, converged, r0, r1
 
 
 def main():
