@@ -89,6 +89,86 @@ def jacobi_sweep(phi: jnp.ndarray, rhs: jnp.ndarray, ndim: int, nc: int,
     return _set_interior(phi, ndim, (1 - w) * cur + w * new)
 
 
+def gathered_shifts(phi: jnp.ndarray, ndim: int, nc: int, dmaps_lvl,
+                    static, bc_static, bc_vals):
+    """Shifted stencil operands with ghost values computed inline.
+
+    Instead of materializing ghost cells (a separate memory pass per
+    half-sweep, m_multigrid.f90:412-423), the +-1 shifted neighbor
+    arrays are built by concatenating the gathered neighbor face /
+    boundary-condition formula onto the interior slice.  Bitwise
+    equivalent to fill-then-shift for same-level and physical faces;
+    refinement-boundary levels must use the materialized path.
+
+    Returns {d: (lo, hi)} of [n, (nc,)*D] arrays.
+    """
+    from ..core.indexmaps import face_slicer
+    from ..core import topology as topo
+
+    out = {}
+    for d in range(ndim):
+        pair = []
+        for side in (0, 1):  # low, high
+            nb = 2 * d + side
+            dm = dmaps_lvl["dirs"][nb]
+            src_sl = face_slicer(ndim, topo.neighb_rev(nb), nc, 1)
+            gh_sl = face_slicer(ndim, nb, nc, 0)
+            faces = phi[src_sl]
+            ghost = jnp.where(
+                dm["has_nb"].reshape((-1,) + (1,) * (ndim - 1)),
+                faces[dm["nb_loc"]], phi[gh_sl])
+            if static["mp"][nb] > 0:
+                bs = bc_static[nb]
+                x1 = phi[face_slicer(ndim, nb, nc, 1)]
+                gp = bs["c0"] * (bc_vals[nb] if bc_vals is not None
+                                 else bs["value"]) + bs["c1"] * x1
+                if bs["c2"] != 0.0:
+                    gp = gp + bs["c2"] * phi[face_slicer(ndim, nb, nc, 2)]
+                ghost = jnp.where(
+                    dm["is_phys"].reshape((-1,) + (1,) * (ndim - 1)),
+                    gp, ghost)
+            # shifted interior array for this side
+            ax = len(phi.shape) - 1 - d
+            if side == 0:  # phi[x-1] for x=1..nc: [ghost, interior[:-1]]
+                interior = _iv(phi, ndim, nc, d, -1)
+                # interior shifted view already includes the ghost col at
+                # x=0; replace the first slice along ax with the computed
+                # ghost
+                sl = [slice(None)] * len(interior.shape)
+                sl[ax] = slice(1, None)
+                body = interior[tuple(sl)]
+                pair.append(jnp.concatenate(
+                    [jnp.expand_dims(ghost, ax), body], axis=ax))
+            else:
+                interior = _iv(phi, ndim, nc, d, +1)
+                sl = [slice(None)] * len(interior.shape)
+                sl[ax] = slice(None, -1)
+                body = interior[tuple(sl)]
+                pair.append(jnp.concatenate(
+                    [body, jnp.expand_dims(ghost, ax)], axis=ax))
+        out[d] = tuple(pair)
+    return out
+
+
+def helmholtz_smooth_half_gathered(phi: jnp.ndarray, rhs: jnp.ndarray,
+                                   ndim: int, nc: int,
+                                   idr2: Sequence[float], lam,
+                                   upd_mask: jnp.ndarray, dmaps_lvl,
+                                   static, bc_static, bc_vals) -> jnp.ndarray:
+    """Half-sweep reading neighbor faces directly (no ghost pass)."""
+    shifts = gathered_shifts(phi, ndim, nc, dmaps_lvl, static, bc_static,
+                             bc_vals)
+    acc = -_iv(rhs, ndim, nc)
+    s = 0.0
+    for d in range(ndim):
+        lo, hi = shifts[d]
+        acc = acc + idr2[d] * (lo + hi)
+        s = s + 2.0 * idr2[d]
+    new = acc / (s + lam)
+    cur = _iv(phi, ndim, nc)
+    return _set_interior(phi, ndim, jnp.where(upd_mask, new, cur))
+
+
 # ---------------------------------------------------------------------------
 # variable-coefficient family: vlaplacian / vhelmholtz
 # (m_vlaplacian.f90:51-189, m_vhelmholtz.f90)

@@ -86,6 +86,12 @@ class MGConfig:
     #: dispatch overhead, heavy one-time compile — right for production
     #: serving of one configuration)
     fmg_mode: str = "split"
+    #: read neighbor faces directly inside smoother half-sweeps instead
+    #: of materializing ghost cells between sweeps (one memory pass less
+    #: per substep; ghosts are still materialized once after the last
+    #: substep).  Applies to cartesian laplacian/helmholtz on levels
+    #: without refinement boundaries; bitwise-identical results.
+    gathered_smoother: bool = False
 
 
 class MGSolver:
@@ -352,19 +358,36 @@ class MGSolver:
 
     def _smooth_boxes(self, state, dmaps, lvl: int, n_cycle: int, lam):
         """smooth_boxes (m_multigrid.f90:404-424): ghost fill after every
-        substep."""
+        substep (or fused into the sweep, cfg.gathered_smoother)."""
         ctx = self._op_ctx(lvl, dmaps)
         parity = dmaps[lvl]["parity"]
+        st = self.static[lvl]
+        gathered = (self.cfg.gathered_smoother
+                    and self.cfg.smoother == "gsrb"
+                    and self.cfg.operator in ("laplacian", "helmholtz")
+                    and self.cfg.geometry == "cartesian"
+                    and not any(st["mr"]))
         for n in range(1, n_cycle * self.substeps + 1):
             cc = state["cc"][lvl]
             if self.cfg.smoother == "jacobi":
                 phi = kernels.jacobi_sweep(cc[IPHI], cc[IRHS], self.ndim,
                                            ctx.nc, ctx.idr2, lam)
+            elif gathered:
+                op_lam = 0.0 if self.cfg.operator == "laplacian" else lam
+                phi = kernels.helmholtz_smooth_half_gathered(
+                    cc[IPHI], cc[IRHS], self.ndim, ctx.nc, ctx.idr2,
+                    op_lam, parity == (n % 2), dmaps[lvl], st,
+                    self._bc_static(IPHI, lvl), state["bc"][lvl])
             else:
                 mask = parity == (n % 2)
                 phi = kernels.op_smooth_half(self.cfg.operator, ctx, cc, lam,
                                              mask)
             state = self._set_plane(state, lvl, IPHI, phi)
+            if not gathered:
+                state = self._fill_ghost_lvl(state, dmaps, lvl, IPHI)
+        if gathered:
+            # materialize ghosts once so downstream consumers (residual,
+            # restriction, correction) see the reference-contract state
             state = self._fill_ghost_lvl(state, dmaps, lvl, IPHI)
         return state
 

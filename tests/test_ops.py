@@ -198,3 +198,26 @@ def test_jacobi_smoother_converges():
         res.append(float(r))
     # damped Jacobi converges more slowly than GSRB but steadily
     assert res[-1] < res[0] * 1e-4
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_gathered_smoother_bitwise_matches(periodic):
+    """cfg.gathered_smoother fuses ghost reads into the sweep; results
+    must be bitwise identical to the materialized-ghost path."""
+    import jax.numpy as jnp
+    states = []
+    for gathered in (False, True):
+        solver = make_solver(3, 16, 8, periodic=periodic,
+                             gathered_smoother=gathered)
+        state = solver.allocate()
+        top = solver.levels[-1]
+        rng = np.random.default_rng(9)
+        isl = (slice(None),) + (slice(1, -1),) * 3
+        rhs = np.zeros(np.asarray(state["cc"][top][IRHS]).shape)
+        rhs[isl] = rng.normal(size=rhs[isl].shape)
+        state["cc"][top] = state["cc"][top].at[IRHS].set(jnp.asarray(rhs))
+        for _ in range(2):
+            state, res = solver.fas_vcycle(state)
+        states.append((np.asarray(state["cc"][top][IPHI]), float(res)))
+    np.testing.assert_array_equal(states[0][0], states[1][0])
+    assert states[0][1] == states[1][1]
