@@ -1,6 +1,16 @@
 """AMR octree solve (the reference's tests/test_refinement.f90 workflow):
     python examples/amr_refinement.py [n_levels] [box_size] [domain_size] [n_its]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+if jax.default_backend() == "cpu":
+    jax.config.update("jax_enable_x64", True)  # float64 parity workflow
+
 import sys
 
 import numpy as np

@@ -2,6 +2,16 @@
 tests/test_free_space.f90 workflow):
     python examples/free_space_gaussian.py [box_size] [domain_size] [fft_frac]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+if jax.default_backend() == "cpu":
+    jax.config.update("jax_enable_x64", True)  # float64 parity workflow
+
 import sys
 
 import numpy as np

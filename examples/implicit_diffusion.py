@@ -1,6 +1,16 @@
 """Implicit heat-equation stepping (m_diffusion.f90 workflow):
     python examples/implicit_diffusion.py [order] [n_steps]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+if jax.default_backend() == "cpu":
+    jax.config.update("jax_enable_x64", True)  # float64 parity workflow
+
 import sys
 
 import numpy as np

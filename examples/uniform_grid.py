@@ -3,6 +3,16 @@
 The library-API version of the reference's tests/test_uniform_grid.f90:
     python examples/uniform_grid.py [box_size] [domain_size] [ndim] [n_its] [fmg]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+if jax.default_backend() == "cpu":
+    jax.config.update("jax_enable_x64", True)  # float64 parity workflow
+
 import sys
 import time
 
@@ -68,7 +78,7 @@ def main():
 
     n_boxes = sum(solver.static[l]["n_boxes"] for l in solver.levels)
     print(f"cycle type        {'FMG' if fmg else 'V-cycle'}")
-    print(f"problem_size      {tuple(dsz)}")
+    print(f"problem_size      {tuple(int(x) for x in dsz)}")
     print(f"box_size          {box_size}")
     print(f"n_iterations      {n_its}")
     print(f"time/iteration    {dt / n_its:.5f}")

@@ -732,6 +732,13 @@ class MGSolver:
     def restrict(self, state, iv: int):
         return self.restrict_all(state, self._to_device(), iv)
 
+    def prepare_coefficient(self, state, iv: int = IVEPS):
+        """Make a coefficient field usable on every level: restrict it
+        down the hierarchy and fill its ghost cells (the reference
+        expects eps present on all levels, m_vhelmholtz.f90:7-10)."""
+        state = self.restrict(state, iv)
+        return self.fill_ghost(state, iv)
+
     def apply_operator(self, state, lam=0.0, i_out: int = IRES):
         lam = jnp.asarray(lam, self.cfg.dtype)
         return self.apply_op(state, self._to_device(), lam, i_out)

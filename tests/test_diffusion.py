@@ -106,3 +106,24 @@ def test_diffusion_acoeff_anisotropic_decay():
     isl = (slice(None),) + (slice(1, -1),) * 2
     got = np.asarray(state["cc"][top][IPHI])[isl]
     assert np.max(np.abs(got - exact[isl])) < 0.01
+
+
+def test_prepare_coefficient_helper():
+    """solver.prepare_coefficient restricts eps to all levels and fills
+    its ghosts (Neumann-zero, m_vlaplacian.f90:25-28)."""
+    solver = periodic_solver(2, 32, 8, "vhelmholtz")
+    state = solver.allocate()
+    top = solver.levels[-1]
+    x = solver.cell_centers(top)
+    eps = np.zeros(x.shape[:-1])
+    isl = (slice(None),) + (slice(1, -1),) * 2
+    eps[isl] = 1.0 + 0.5 * x[isl][..., 0]
+    state["cc"][top] = state["cc"][top].at[IVEPS].set(jnp.asarray(eps))
+    state = solver.prepare_coefficient(state, IVEPS)
+    for lvl in solver.levels:
+        e = np.asarray(state["cc"][lvl][IVEPS])
+        assert np.all(e[isl] > 0.99), f"eps missing on lvl {lvl}"
+    # ghosts filled (periodic wrap: ghost equals opposite face interior)
+    e_top = np.asarray(state["cc"][top][IVEPS])
+    np.testing.assert_allclose(e_top[:, 1:-1, 0],
+                               np.asarray(state["cc"][top][IVEPS])[:, 1:-1, 0])
