@@ -92,6 +92,10 @@ class MGConfig:
     #: substep).  Applies to cartesian laplacian/helmholtz on levels
     #: without refinement boundaries; bitwise-identical results.
     gathered_smoother: bool = False
+    #: use the Pallas (Mosaic) lane-roll half-sweep kernel for the
+    #: constant-coefficient cartesian smoother (experimental; falls back
+    #: to the XLA kernel elsewhere).  Interpret mode on CPU backends.
+    pallas_smoother: bool = False
 
 
 class MGSolver:
@@ -367,11 +371,25 @@ class MGSolver:
                     and self.cfg.operator in ("laplacian", "helmholtz")
                     and self.cfg.geometry == "cartesian"
                     and not any(st["mr"]))
+        # laplacian only for now: lam is a traced scalar for helmholtz
+        # and the kernel bakes the denominator statically
+        use_pallas = (self.cfg.pallas_smoother
+                      and self.cfg.smoother == "gsrb"
+                      and self.cfg.operator == "laplacian"
+                      and self.cfg.geometry == "cartesian"
+                      and self.ndim >= 2)
         for n in range(1, n_cycle * self.substeps + 1):
             cc = state["cc"][lvl]
             if self.cfg.smoother == "jacobi":
                 phi = kernels.jacobi_sweep(cc[IPHI], cc[IRHS], self.ndim,
                                            ctx.nc, ctx.idr2, lam)
+            elif use_pallas:
+                from ..ops import pallas_smoother as ps
+                op_lam = 0.0 if self.cfg.operator == "laplacian" else lam
+                phi = ps.half_sweep_boxes(
+                    cc[IPHI], cc[IRHS], self.ndim, ctx.nc, ctx.idr2,
+                    op_lam, parity_val=(n % 2),
+                    interpret=(jax.default_backend() == "cpu"))
             elif gathered:
                 op_lam = 0.0 if self.cfg.operator == "laplacian" else lam
                 phi = kernels.helmholtz_smooth_half_gathered(

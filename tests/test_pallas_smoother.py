@@ -26,3 +26,28 @@ def test_pallas_half_sweep_matches_jnp(ndim, nc, parity_val):
                            idr2, lam, parity_val, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_smoother_in_solver_bitwise():
+    """cfg.pallas_smoother=True produces identical V-cycle results to the
+    XLA smoother (interpret mode on CPU)."""
+    from octree_mg_tpu import IPHI, IRHS, MGConfig, MGSolver, build_rectangle
+
+    results = []
+    for use_pallas in (False, True):
+        dsz = np.full(3, 16)
+        tree = build_rectangle(3, dsz, 8, 1.0 / dsz, np.zeros(3))
+        solver = MGSolver(tree, MGConfig(operator="laplacian",
+                                         pallas_smoother=use_pallas))
+        state = solver.allocate()
+        top = solver.levels[-1]
+        rng = np.random.default_rng(21)
+        isl = (slice(None),) + (slice(1, -1),) * 3
+        rhs = np.zeros(np.asarray(state["cc"][top][IRHS]).shape)
+        rhs[isl] = rng.normal(size=rhs[isl].shape)
+        state["cc"][top] = state["cc"][top].at[IRHS].set(jnp.asarray(rhs))
+        for _ in range(2):
+            state, res = solver.fas_vcycle(state)
+        results.append((np.asarray(state["cc"][top][IPHI]), float(res)))
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    assert results[0][1] == results[1][1]
