@@ -148,7 +148,6 @@ class HostCoupling:
         (mg_copy_from_tree / mg_copy_from_tree_gc; corner ghost cells are
         not meaningful)."""
         out = {}
-        isl = (slice(None),) * 0
         for (lvl, ix), (l2, loc) in self._leaf_index.items():
             arr = np.asarray(self.state["cc"][l2][iv][loc])
             if not with_ghosts:

@@ -678,14 +678,6 @@ class MGSolver:
         return f
 
     @functools.cached_property
-    def _jit_fmg_level_step(self):
-        @functools.partial(jax.jit, static_argnames=("lvl",),
-                           donate_argnums=self._donate())
-        def f(state, dmaps, lvl):
-            return self._fmg_level_step(state, dmaps, lvl)
-        return f
-
-    @functools.cached_property
     def _jit_fmg_level_combo(self):
         """level_step + V-cycle in one program: halves the per-FMG
         dispatch count, which dominates wall time on high-latency
