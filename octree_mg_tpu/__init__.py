@@ -20,6 +20,7 @@ from .core.tree import (Tree, build_rectangle, build_amr_centered,
                         set_neighbors_lvl, set_refinement_boundaries,
                         finalize_amr, box_r_min)
 from .solve.multigrid import MGConfig, MGSolver
+from .solve.dense import DenseMGSolver, dense_supported, make_solver
 
 __all__ = [
     "BCType", "Geometry", "Operator", "Smoother",
@@ -27,7 +28,8 @@ __all__ = [
     "NUM_VARS", "Tree", "build_rectangle", "build_amr_centered",
     "add_children", "set_leaves_parents", "set_next_level_ids",
     "set_neighbors_lvl", "set_refinement_boundaries", "finalize_amr",
-    "box_r_min", "MGConfig", "MGSolver",
+    "box_r_min", "MGConfig", "MGSolver", "DenseMGSolver",
+    "dense_supported", "make_solver",
 ]
 
 __version__ = "0.1.0"

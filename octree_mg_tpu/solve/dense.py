@@ -1,0 +1,659 @@
+"""Dense-level FAS multigrid solver for uniform (non-AMR) trees.
+
+The TPU-native fast path.  On a uniform tree every level is one dense
+rectangular grid; this solver stores each level as ``[Z+4, Y+4, X]``
+per variable (2-deep z/y pads, x unpadded in lanes) and runs the cycle
+(``mg_fas_vcycle``/``mg_fas_fmg``, /root/reference/src/m_multigrid.f90
+:84-243) with:
+
+* a fused Pallas red+black pair kernel per smoothing pair — no
+  materialized ghost fills inside the smoother at all (the reference
+  fills after every half-sweep, m_multigrid.f90:412-423; the boxed path
+  here did too);
+* Pallas one-pass operator/residual application;
+* restriction/prolongation as dense reshapes (m_restrict.f90:183-194 /
+  m_prolong.f90:159-240 numerics);
+* a **direct coarse solve**: the coarsest cycled level's operator is
+  probed into a dense matrix at setup and eigendecomposed, so the
+  coarse solve is two small matmuls instead of the reference's
+  launch-latency-bound smoothing loop (m_multigrid.f90:196-209).  The
+  reference-faithful smooth-to-tolerance loop remains available as
+  ``coarse_solver="smooth"`` and is bitwise-identical to the boxed
+  path.
+
+Results are bit-identical to the boxed ``MGSolver`` (same arithmetic
+per cell in the same order) — asserted in tests/test_dense.py.
+
+Gating: 3D cartesian laplacian/helmholtz with GSRB on uniform trees;
+anything else falls back to the boxed solver (``make_solver``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import warnings
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import topology as topo
+from ..core.constants import BCType
+from ..core.tree import Tree
+from ..ops import dense_kernels as dk
+from ..ops.ghost import bc_coeffs
+from .multigrid import MGConfig, _enable_compilation_cache
+
+
+def dense_supported(tree: Tree, cfg: MGConfig) -> bool:
+    """Whether the dense fast path covers this configuration."""
+    return (tree.ndim == 3
+            and tree.highest_lvl == 1          # uniform, no AMR
+            and cfg.operator in ("laplacian", "helmholtz")
+            and cfg.geometry == "cartesian"
+            and cfg.smoother in ("gsrb", "gs"))
+
+
+def make_solver(tree: Tree, config: Optional[MGConfig] = None):
+    """Pick the dense fast path when applicable, else the boxed solver."""
+    from .multigrid import MGSolver
+    cfg = config or MGConfig()
+    if dense_supported(tree, cfg):
+        return DenseMGSolver(tree, cfg)
+    return MGSolver(tree, cfg)
+
+
+_ISL = (slice(2, -2), slice(2, -2), slice(None))
+
+
+class DenseMGSolver:
+    """FAS multigrid on dense uniform levels.
+
+    State pytree:
+        {"phi": {lvl: [Z+4, Y+4, X]}, "rhs": {...}, "iold": {...},
+         "ires": {...}, "bc": {lvl: [6 padded boundary-value planes]}}
+    """
+
+    #: finest level whose cell count is <= this bound becomes the direct
+    #: coarse-solve level (matrix size bound)
+    DIRECT_MAX_CELLS = 512
+
+    def __init__(self, tree: Tree, config: Optional[MGConfig] = None):
+        _enable_compilation_cache()
+        self.tree = tree
+        self.cfg = config or MGConfig()
+        cfg = self.cfg
+        assert dense_supported(tree, cfg), "dense path gating violated"
+        if cfg.smoother == "gs":
+            warnings.warn("lexicographic GS does not vectorize on TPU; "
+                          "using red-black GS (the reference's gsrb mode)")
+            cfg.smoother = "gsrb"
+        self.ndim = 3
+        self.n_vars = 4 + cfg.n_extra_vars
+        self.subtract_mean = tree.subtract_mean and cfg.operator == "laplacian"
+        #: "direct" (default) or "smooth" (reference-faithful loop)
+        self.coarse_solver = cfg.coarse_solver
+        self.interpret = jax.default_backend() == "cpu"
+
+        from ..utils.timers import Timers
+        self.timers = Timers()
+
+        self.periodic = tuple(bool(p) for p in tree.periodic)
+        self._build_levels()
+        self._build_bc()
+        self._direct = None  # built lazily after BC spec is final
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+    def _build_levels(self):
+        t = self.tree
+        all_lvls = list(range(t.lowest_lvl, t.highest_lvl + 1))
+        self.dims = {lvl: tuple(int(v) for v in t.domain_size_lvl[lvl])
+                     for lvl in all_lvls}  # (X, Y, Z) per tree dim order
+        if self.coarse_solver == "direct":
+            # coarsest cycled level = finest level small enough to solve
+            # directly; levels below it exist in the tree but are unused
+            direct = None
+            for lvl in all_lvls:  # coarsest -> finest
+                if int(np.prod(self.dims[lvl])) <= self.DIRECT_MAX_CELLS:
+                    direct = lvl
+            if direct is None:
+                direct = all_lvls[0]
+            self.levels = [l for l in all_lvls if l >= direct]
+        else:
+            self.levels = all_lvls
+
+    def _build_bc(self):
+        nnb = 6
+        self.bc_spec: List[Dict] = [
+            {"type": BCType.DIRICHLET, "value": 0.0, "fn": None}
+            for _ in range(nnb)]
+
+    def set_bc(self, iv: int, bc_type: BCType, value: float = 0.0,
+               nb: Optional[int] = None, fn: Optional[Callable] = None):
+        """Physical BCs for phi (mg_subr_bc analogue; dense path only
+        carries BCs for the solution variable)."""
+        assert iv == 0, "dense path: BCs apply to phi"
+        nbs = range(6) if nb is None else [nb]
+        for b in nbs:
+            self.bc_spec[b] = {"type": bc_type, "value": value, "fn": fn}
+        self._direct = None
+
+    def _bc_static(self, lvl: int):
+        """Per-direction (c0,c1,c2) or None on periodic axes."""
+        out = []
+        t = self.tree
+        for nbd in range(6):
+            d = nbd // 2
+            if self.periodic[d]:
+                out.append(None)
+                continue
+            spec = self.bc_spec[nbd]
+            out.append(bc_coeffs(spec["type"], float(t.dr[lvl][d]), nbd))
+        return out
+
+    def _kcfg(self, lvl: int) -> dk.DenseStencilConfig:
+        t = self.tree
+        idr2 = tuple(float(x) for x in 1.0 / t.dr[lvl] ** 2)
+        bc = self._bc_static(lvl)
+        bc_full = [c if c is not None else (0.0, 0.0, 0.0) for c in bc]
+        return dk.DenseStencilConfig(
+            dims=self.dims[lvl], idr2=idr2, bc=bc_full,
+            periodic=self.periodic, dtype=self.cfg.dtype,
+            interpret=self.interpret)
+
+    @functools.cached_property
+    def _kcfgs(self):
+        return {lvl: self._kcfg(lvl) for lvl in self.levels}
+
+    # ------------------------------------------------------------------
+    # state
+    # ------------------------------------------------------------------
+    def allocate(self) -> Dict:
+        dt = self.cfg.dtype
+        state = {"phi": {}, "rhs": {}, "iold": {}, "ires": {}, "bc": {}}
+        for lvl in self.levels:
+            X, Y, Z = self.dims[lvl]
+            shape = (Z + 4, Y + 4, X)
+            for k in ("phi", "rhs", "iold", "ires"):
+                state[k][lvl] = jnp.zeros(shape, dt)
+            state["bc"][lvl] = self._eval_bc_planes(lvl)
+        return state
+
+    def _eval_bc_planes(self, lvl: int) -> List[jnp.ndarray]:
+        """Boundary-value planes b per direction, padded to match the
+        kernels' halo windows (mg_phi_bc_store analogue)."""
+        t = self.tree
+        X, Y, Z = self.dims[lvl]
+        dr = t.dr[lvl]
+        r0 = t.r_min
+        dt = self.cfg.dtype
+        # cell-center coordinate vectors
+        cx = r0[0] + (np.arange(X) + 0.5) * dr[0]
+        cy = r0[1] + (np.arange(Y) + 0.5) * dr[1]
+        cz = r0[2] + (np.arange(Z) + 0.5) * dr[2]
+        hi = [r0[d] + self.dims[lvl][d] * dr[d] for d in range(3)]
+        out = []
+        for nbd in range(6):
+            d = nbd // 2
+            if self.periodic[d]:
+                out.append(jnp.zeros((1, 1), dt))
+                continue
+            spec = self.bc_spec[nbd]
+            # face coordinates: on-face position along d, centers across
+            if d == 0:
+                shape = (Z, Y)
+                coords = np.zeros(shape + (3,))
+                coords[..., 0] = r0[0] if nbd % 2 == 0 else hi[0]
+                coords[..., 1] = cy[None, :]
+                coords[..., 2] = cz[:, None]
+                pad = ((2, 2), (2, 2))
+            elif d == 1:
+                shape = (Z, X)
+                coords = np.zeros(shape + (3,))
+                coords[..., 1] = r0[1] if nbd % 2 == 0 else hi[1]
+                coords[..., 0] = cx[None, :]
+                coords[..., 2] = cz[:, None]
+                pad = ((2, 2), (0, 0))
+            else:
+                shape = (Y, X)
+                coords = np.zeros(shape + (3,))
+                coords[..., 2] = r0[2] if nbd % 2 == 0 else hi[2]
+                coords[..., 0] = cx[None, :]
+                coords[..., 1] = cy[:, None]
+                pad = ((2, 2), (0, 0))
+            if spec["fn"] is not None:
+                vals = np.asarray(spec["fn"](coords))
+            else:
+                vals = np.full(shape, spec["value"])
+            out.append(jnp.asarray(np.pad(vals, pad), dt))
+        return out
+
+    def cell_centers(self, lvl: int) -> np.ndarray:
+        """Interior cell-center coordinates [Z, Y, X, 3] (host-side)."""
+        t = self.tree
+        X, Y, Z = self.dims[lvl]
+        dr = t.dr[lvl]
+        out = np.zeros((Z, Y, X, 3))
+        out[..., 0] = (t.r_min[0] + (np.arange(X) + 0.5) * dr[0])[None, None, :]
+        out[..., 1] = (t.r_min[1] + (np.arange(Y) + 0.5) * dr[1])[None, :, None]
+        out[..., 2] = (t.r_min[2] + (np.arange(Z) + 0.5) * dr[2])[:, None, None]
+        return out
+
+    def set_interior(self, state, lvl, key, values):
+        """Write interior values [Z, Y, X] of a variable."""
+        state = dict(state)
+        state[key] = dict(state[key])
+        state[key][lvl] = state[key][lvl].at[_ISL].set(values)
+        return state
+
+    def interior(self, state, lvl, key):
+        return state[key][lvl][_ISL]
+
+    # ------------------------------------------------------------------
+    # building blocks
+    # ------------------------------------------------------------------
+    def _sync_pads(self, arr, lvl):
+        """Periodic wrap maintenance of the z/y pad planes (x wraps are
+        exact in-kernel rolls).  No-op on non-periodic axes."""
+        X, Y, Z = self.dims[lvl]
+        if self.periodic[2]:
+            arr = arr.at[0:2].set(arr[Z:Z + 2])
+            arr = arr.at[Z + 2:Z + 4].set(arr[2:4])
+        if self.periodic[1]:
+            arr = arr.at[:, 0:2].set(arr[:, Y:Y + 2])
+            arr = arr.at[:, Y + 2:Y + 4].set(arr[:, 2:4])
+        return arr
+
+    def _set(self, state, key, lvl, arr):
+        state = dict(state)
+        state[key] = dict(state[key])
+        state[key][lvl] = arr
+        return state
+
+    def _lam(self, lam):
+        return jnp.asarray(lam, self.cfg.dtype)
+
+    def _smooth(self, state, lvl, n_cycle, lam):
+        """n_cycle GSRB cycles = n_cycle fused pair kernels
+        (smooth_boxes, m_multigrid.f90:404-424)."""
+        cfg = self._kcfgs[lvl]
+        phi = state["phi"][lvl]
+        rhs = self._sync_pads(state["rhs"][lvl], lvl)
+        bp = state["bc"][lvl]
+        for _ in range(n_cycle):
+            phi = self._sync_pads(phi, lvl)
+            # substeps n=1,2 -> red parity (n+1)%2 = 0
+            phi = dk.pair_sweep_dense(cfg, phi, rhs, lam, bp, red_parity=0)
+        return self._set(state, "phi", lvl, phi)
+
+    def _residual(self, state, lvl, lam):
+        cfg = self._kcfgs[lvl]
+        phi = self._sync_pads(state["phi"][lvl], lvl)
+        ires = dk.stencil_apply_dense(cfg, phi, state["rhs"][lvl], lam,
+                                      state["bc"][lvl], residual=True)
+        return self._set(state, "ires", lvl, ires)
+
+    def _apply_op(self, state, lvl, lam):
+        cfg = self._kcfgs[lvl]
+        phi = self._sync_pads(state["phi"][lvl], lvl)
+        return dk.stencil_apply_dense(cfg, phi, state["rhs"][lvl], lam,
+                                      state["bc"][lvl], residual=False)
+
+    def _max_residual(self, state, lvl, lam):
+        state = self._residual(state, lvl, lam)
+        return state, jnp.max(jnp.abs(state["ires"][lvl][_ISL]))
+
+    def _restrict_into(self, state, lvl, key):
+        """Full-weighting restriction lvl -> lvl-1 (m_restrict.f90:183-194)."""
+        X, Y, Z = self.dims[lvl]
+        fine = state[key][lvl][_ISL]
+        avg = fine.reshape(Z // 2, 2, Y // 2, 2, X // 2, 2).mean(
+            axis=(1, 3, 5))
+        coarse = state[key][lvl - 1].at[_ISL].set(avg)
+        return self._set(state, key, lvl - 1, coarse)
+
+    def _update_coarse(self, state, lvl, lam):
+        """FAS tau correction (update_coarse, m_multigrid.f90:347-384)."""
+        state = self._residual(state, lvl, lam)
+        state = self._restrict_into(state, lvl, "phi")
+        state = self._restrict_into(state, lvl, "ires")
+        a_phi = self._apply_op(state, lvl - 1, lam)
+        rhs_c = state["rhs"][lvl - 1].at[_ISL].set(
+            a_phi[_ISL] + state["ires"][lvl - 1][_ISL])
+        state = self._set(state, "rhs", lvl - 1, rhs_c)
+        state = self._set(state, "iold", lvl - 1, state["phi"][lvl - 1])
+        return state
+
+    # -- prolongation ---------------------------------------------------
+    def _corr_with_ring(self, state, lvl):
+        """(phi - iold) with a 1-ghost ring [Z+2, Y+2, X+2].
+
+        Ring values reproduce the boxed path bitwise: ghost(phi) -
+        ghost(iold) with the bc_to_gc formula per face (the c0*b terms
+        cancel only mathematically, so both synths are evaluated), and
+        periodic wraps of the difference (exact copies either way).
+        """
+        X, Y, Z = self.dims[lvl]
+        phi = state["phi"][lvl]
+        iold = state["iold"][lvl]
+        bp = state["bc"][lvl]
+        corr = jnp.zeros((Z + 2, Y + 2, X + 2), self.cfg.dtype)
+        ci = (slice(1, -1),) * 3
+        corr = corr.at[ci].set(phi[_ISL] - iold[_ISL])
+        bc = self._bc_static(lvl)
+
+        def synth(a, nbd, x1, x2, bplane):
+            c0, c1, c2 = bc[nbd]
+            g = c0 * bplane + c1 * x1
+            if c2 != 0.0:
+                g = g + c2 * x2
+            return g
+
+        for nbd in range(6):
+            d = nbd // 2
+            lowside = nbd % 2 == 0
+            # slices of the interior arrays along dim d
+            ax = 2 - d  # array axis of dim d
+            n_d = (X, Y, Z)[d]
+
+            def pick(a, idx):
+                """Interior plane of dim d at interior index idx."""
+                sl = [slice(2, -2), slice(2, -2), slice(None)]
+                sl[ax] = idx if ax == 2 else idx + 2  # x axis is unpadded
+                return a[tuple(sl)]
+
+            if self.periodic[d]:
+                gphi = pick(phi, n_d - 1 if lowside else 0)
+                giold = pick(iold, n_d - 1 if lowside else 0)
+            else:
+                x1p = pick(phi, 0 if lowside else n_d - 1)
+                x2p = pick(phi, 1 if lowside else n_d - 2)
+                x1i = pick(iold, 0 if lowside else n_d - 1)
+                x2i = pick(iold, 1 if lowside else n_d - 2)
+                if d == 0:
+                    bpl = bp[nbd][2:-2, 2:-2]
+                elif d == 1:
+                    bpl = bp[nbd][2:-2, :]
+                else:
+                    bpl = bp[nbd][2:-2, :]
+                gphi = synth(phi, nbd, x1p, x2p, bpl)
+                giold = synth(iold, nbd, x1i, x2i, bpl)
+            ring = gphi - giold
+            sl: List = [slice(1, -1)] * 3
+            sl[ax] = 0 if lowside else -1
+            corr = corr.at[tuple(sl)].set(ring)
+        return corr
+
+    def _prolong_rect(self, sub):
+        """D-linear prolongation of [Zc+2, Yc+2, Xc+2] -> [2Zc, 2Yc, 2Xc]
+        (mg_prolong_sparse weights, m_prolong.f90:159-240; same
+        arithmetic order as transfer._prolong_block)."""
+        w0 = 0.25
+        ctr = sub[1:-1, 1:-1, 1:-1]
+
+        def shifted(d, s):
+            sl = [slice(1, -1)] * 3
+            ax = 2 - d
+            sl[ax] = slice(1 + s, sub.shape[ax] - 1 + s)
+            return sub[tuple(sl)]
+
+        f0 = w0 * ctr
+        lo = [0.25 * shifted(d, -1) for d in range(3)]
+        hi = [0.25 * shifted(d, +1) for d in range(3)]
+        vals = {0: f0}
+        for d in range(3):
+            new = {}
+            for key, a in vals.items():
+                new[key] = a + lo[d]
+                new[key | (1 << d)] = a + hi[d]
+            vals = new
+
+        def interleave(a, b, d):
+            ax = 2 - d
+            st = jnp.stack([a, b], axis=ax + 1)
+            shape = list(a.shape)
+            shape[ax] *= 2
+            return st.reshape(shape)
+
+        def build(d_hi, bits):
+            if d_hi < 0:
+                return vals[bits]
+            return interleave(build(d_hi - 1, bits),
+                              build(d_hi - 1, bits | (1 << d_hi)), d_hi)
+
+        return build(2, 0)
+
+    def _correct_children(self, state, lvl_c, lam):
+        """phi_fine += prolong(phi_c - iold_c) (correct_children,
+        m_multigrid.f90:387-402)."""
+        corr = self._corr_with_ring(state, lvl_c)
+        vals = self._prolong_rect(corr)
+        lvl = lvl_c + 1
+        phi = state["phi"][lvl].at[_ISL].add(vals)
+        return self._set(state, "phi", lvl, phi)
+
+    def prolong_set(self, state, lvl_c, key_from="phi", key_to="phi"):
+        """Non-additive prolongation (used by free-space seeding)."""
+        corr = jnp.zeros(tuple(np.array(self.dims[lvl_c])[::-1] + 2),
+                         self.cfg.dtype)
+        src = state[key_from][lvl_c]
+        corr = corr.at[(slice(1, -1),) * 3].set(src[_ISL])
+        vals = self._prolong_rect(corr)
+        lvl = lvl_c + 1
+        arr = state[key_to][lvl].at[_ISL].set(vals)
+        return self._set(state, key_to, lvl, arr)
+
+    # -- subtract mean (fully periodic) ---------------------------------
+    def _subtract_mean(self, state, key):
+        """Leaf mean removal (subtract_mean, m_multigrid.f90:245-294;
+        uniform tree -> mean over the finest level)."""
+        top = self.levels[-1]
+        X, Y, Z = self.dims[top]
+        mean = jnp.sum(state[key][top][_ISL]) / float(X * Y * Z)
+        for lvl in self.levels:
+            state = self._set(state, key, lvl, state[key][lvl] - mean)
+        return state
+
+    # ------------------------------------------------------------------
+    # coarse solve
+    # ------------------------------------------------------------------
+    def _build_direct(self):
+        """Probe the coarsest cycled level's operator into a dense
+        matrix (host, float64) and eigendecompose.  BC ghosts are
+        eliminated into the matrix; the inhomogeneous b-contribution is
+        evaluated at runtime as A(0)."""
+        lvl = self.levels[0]
+        X, Y, Z = self.dims[lvl]
+        m = X * Y * Z
+        idr2 = tuple(float(x) for x in 1.0 / self.tree.dr[lvl] ** 2)
+        bc = self._bc_static(lvl)
+        A = np.zeros((m, m))
+        strides = (1, X, X * Y)
+        sizes = (X, Y, Z)
+        for z in range(Z):
+            for y in range(Y):
+                for x in range(X):
+                    i = (z * Y + y) * X + x
+                    pos = (x, y, z)
+                    for d in range(3):
+                        A[i, i] -= 2.0 * idr2[d]
+                        for side, step in ((0, -1), (1, +1)):
+                            p = pos[d] + step
+                            if 0 <= p < sizes[d]:
+                                A[i, i + step * strides[d]] += idr2[d]
+                            elif self.periodic[d]:
+                                j = i + (step - step * sizes[d]) * strides[d]
+                                A[i, j] += idr2[d]
+                            else:
+                                c0, c1, c2 = bc[2 * d + side]
+                                A[i, i] += idr2[d] * c1
+                                if c2 != 0.0:
+                                    A[i, i - step * strides[d]] += idr2[d] * c2
+        if np.allclose(A, A.T, atol=1e-12):
+            d_eig, V = np.linalg.eigh(A)
+            Vinv = V.T
+        else:
+            d_c, V_c = np.linalg.eig(A)
+            if np.max(np.abs(d_c.imag)) > 1e-8 * np.max(np.abs(d_c.real)):
+                return None  # fall back to smoothing
+            d_eig = d_c.real
+            V = V_c.real
+            Vinv = np.linalg.inv(V)
+        null = np.abs(d_eig) < 1e-10 * np.max(np.abs(d_eig))
+        dt = self.cfg.dtype
+        return {"V": jnp.asarray(V, dt), "Vinv": jnp.asarray(Vinv, dt),
+                "d": jnp.asarray(d_eig, dt),
+                "null": jnp.asarray(null)}
+
+    def _ensure_direct(self):
+        if self.coarse_solver == "direct" and self._direct is None:
+            self._direct = self._build_direct() or "unavailable"
+
+    def _coarse_solve(self, state, lam):
+        self._ensure_direct()
+        if isinstance(self._direct, dict):
+            return self._coarse_direct(state, lam)
+        return self._coarse_smooth(state, lam)
+
+    def _coarse_direct(self, state, lam):
+        """phi = A^{-1}(rhs - A(0)) via the precomputed eigenbasis."""
+        lvl = self.levels[0]
+        X, Y, Z = self.dims[lvl]
+        dd = self._direct
+        zero = self._set(state, "phi", lvl,
+                         jnp.zeros_like(state["phi"][lvl]))
+        bterm = self._apply_op(zero, lvl, lam)[_ISL].reshape(-1)
+        r = state["rhs"][lvl][_ISL].reshape(-1) - bterm
+        comp = dd["Vinv"] @ r
+        denom = dd["d"] - lam
+        comp = jnp.where(dd["null"], 0.0, comp / denom)
+        x = (dd["V"] @ comp).reshape(Z, Y, X)
+        phi = state["phi"][lvl].at[_ISL].set(x)
+        return self._set(state, "phi", lvl, phi)
+
+    def _coarse_smooth(self, state, lam):
+        """Reference-faithful coarse smoothing loop with the rel/abs
+        1e-8, <=1000 rule (m_multigrid.f90:196-209)."""
+        cfg = self.cfg
+        lvl = self.levels[0]
+        n_cyc = cfg.n_cycle_up + cfg.n_cycle_down
+        state, init_res = self._max_residual(state, lvl, lam)
+
+        def cond(carry):
+            st, it, res = carry
+            return ((it < cfg.max_coarse_cycles)
+                    & (res >= cfg.residual_coarse_rel * init_res)
+                    & (res >= cfg.residual_coarse_abs))
+
+        def body(carry):
+            st, it, res = carry
+            st = self._smooth(st, lvl, n_cyc, lam)
+            st, r = self._max_residual(st, lvl, lam)
+            return (st, it + 1, r)
+
+        state, _, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.array(0),
+                         jnp.asarray(jnp.inf, cfg.dtype)))
+        return state
+
+    # ------------------------------------------------------------------
+    # cycle drivers (mg_fas_vcycle / mg_fas_fmg)
+    # ------------------------------------------------------------------
+    def _vcycle(self, state, lam, max_lvl, standalone, need_res):
+        cfg = self.cfg
+        min_lvl = self.levels[0]
+        top = self.levels[-1] if max_lvl is None else max_lvl
+
+        if self.subtract_mean and max_lvl is None:
+            state = self._subtract_mean(state, "rhs")
+
+        for lvl in range(top, min_lvl, -1):
+            state = self._smooth(state, lvl, cfg.n_cycle_down, lam)
+            state = self._update_coarse(state, lvl, lam)
+
+        state = self._coarse_solve(state, lam)
+
+        for lvl in range(min_lvl + 1, top + 1):
+            state = self._correct_children(state, lvl - 1, lam)
+            state = self._smooth(state, lvl, cfg.n_cycle_up, lam)
+
+        res = jnp.asarray(0.0, cfg.dtype)
+        if need_res:
+            for lvl in range(min_lvl, top + 1):
+                state, r = self._max_residual(state, lvl, lam)
+                res = jnp.maximum(res, r)
+
+        if self.subtract_mean:
+            state = self._subtract_mean(state, "phi")
+        return state, res
+
+    def _fmg(self, state, lam, have_guess, need_res):
+        min_lvl, top = self.levels[0], self.levels[-1]
+        if not have_guess:
+            for lvl in self.levels:
+                state = self._set(state, "phi", lvl,
+                                  jnp.zeros_like(state["phi"][lvl]))
+        for lvl in range(top, min_lvl, -1):
+            state = self._update_coarse(state, lvl, lam)
+        if self.subtract_mean:
+            state = self._subtract_mean(state, "rhs")
+
+        res = jnp.asarray(0.0, self.cfg.dtype)
+        for lvl in range(min_lvl, top + 1):
+            state = self._set(state, "iold", lvl, state["phi"][lvl])
+            if lvl > min_lvl:
+                state = self._correct_children(state, lvl - 1, lam)
+            last = lvl == top
+            state, r = self._vcycle(state, lam, max_lvl=lvl,
+                                    standalone=False,
+                                    need_res=(need_res and last))
+            if last:
+                res = r
+        return state, res
+
+    # ------------------------------------------------------------------
+    # public entry points
+    # ------------------------------------------------------------------
+    def _donate(self):
+        return (0,) if self.cfg.donate else ()
+
+    @functools.cached_property
+    def _jit_vcycle(self):
+        @functools.partial(jax.jit,
+                           static_argnames=("max_lvl", "standalone",
+                                            "need_res"),
+                           donate_argnums=self._donate())
+        def f(state, lam, max_lvl, standalone, need_res):
+            return self._vcycle(state, lam, max_lvl, standalone, need_res)
+        return f
+
+    @functools.cached_property
+    def _jit_fmg(self):
+        @functools.partial(jax.jit,
+                           static_argnames=("have_guess", "need_res"),
+                           donate_argnums=self._donate())
+        def f(state, lam, have_guess, need_res):
+            return self._fmg(state, lam, have_guess, need_res)
+        return f
+
+    def fas_vcycle(self, state, lam=0.0, max_lvl=None, need_res=True):
+        self._ensure_direct()
+        with self.timers.section("total V-cycle"):
+            return self._jit_vcycle(state, self._lam(lam), max_lvl=max_lvl,
+                                    standalone=True, need_res=need_res)
+
+    def fas_fmg(self, state, lam=0.0, have_guess=False, need_res=True):
+        self._ensure_direct()
+        with self.timers.section("total FMG cycle"):
+            return self._jit_fmg(state, self._lam(lam),
+                                 have_guess=have_guess, need_res=need_res)
+
+    def apply_operator(self, state, lam=0.0, out_key: str = "ires"):
+        lam = self._lam(lam)
+        for lvl in self.levels:
+            out = self._apply_op(state, lvl, lam)
+            state = self._set(state, out_key, lvl, out)
+        return state

@@ -96,6 +96,12 @@ class MGConfig:
     #: constant-coefficient cartesian smoother (experimental; falls back
     #: to the XLA kernel elsewhere).  Interpret mode on CPU backends.
     pallas_smoother: bool = False
+    #: coarse-grid solve strategy on the dense path: "direct" solves
+    #: the coarsest cycled level exactly via a precomputed eigenbasis
+    #: (two small matmuls); "smooth" is the reference's iterate-to-
+    #: tolerance loop (m_multigrid.f90:196-209).  The boxed path always
+    #: smooths.
+    coarse_solver: str = "direct"
 
 
 class MGSolver:
