@@ -9,31 +9,38 @@ materialized ghost-fill passes between smoother half-sweeps
 (``smooth_boxes``, m_multigrid.f90:404-424), which measure ~2x the cost
 of a half-sweep at 512^3 under XLA.
 
-Layout: ``[Z+4, Y+4, X]`` — x is the lane dimension (unpadded, so 512 ->
-4x128 tiles exactly), z/y carry a 2-deep pad so every tile's halo DMA is
-a single rectangular window with no edge cases.  Pad contents are
-*garbage by contract*: physical-boundary ghost values are synthesized
-inline from the Fortran BC formula (ghost = c0*b + c1*x1 + c2*x2,
-m_ghost_cells.f90:682-698) at the cells that read them, and periodic
-wraps are maintained by the driver as cheap plane copies (x wraps are
-exact lane rolls and need no maintenance).
+Layout: ``[Z+2*PZ, Y+2*PY, X]`` with PZ=2, PY=8 — x is the lane
+dimension (unpadded, 512 -> 4x128 tiles exactly); z carries the minimal
+2-deep halo pad (the z axis is untiled, so HBM windows may slice it
+freely); y carries an 8-deep pad because Mosaic requires HBM window
+slices along the sublane dimension to be 8-aligned in offset and size.
+Pad contents are *garbage by contract*: physical-boundary ghost values
+are synthesized inline from the Fortran BC formula (ghost = c0*b +
+c1*x1 + c2*x2, m_ghost_cells.f90:682-698) at the cells that read them,
+and periodic wraps are maintained by the driver as cheap plane copies
+(x wraps are exact lane rolls and need no maintenance).
 
 Kernels:
 
 * ``pair_sweep_dense`` — the fused red+black GSRB pair.  One HBM pass
-  replaces [half-sweep, ghost fill, half-sweep, ghost fill] of the boxed
-  path.  Correctness of fusing across the mid-pair ghost refresh is the
-  recipe validated in ``ops/pair_sweep.py``: the black sweep only needs
-  red-updated values in a 2-deep halo, which the tile's window contains
-  (including corner data — free in a dense window).  Arithmetic order
-  matches ``kernels.helmholtz_smooth_half`` exactly, so results are
-  bit-identical to the boxed path (asserted in tests/test_dense.py).
-* ``stencil_apply_dense`` — operator application / residual in one pass
-  (``box_lpl``/``box_helmh``, m_laplacian.f90:155-195).
+  replaces [half-sweep, ghost fill, half-sweep, ghost fill] of the
+  boxed path.  Correctness of fusing across the mid-pair ghost refresh
+  is the recipe validated in ``ops/pair_sweep.py``: the black sweep
+  only needs red-updated values in a 2-deep halo, which the tile's
+  window contains (including corner data — free in a dense window).
+  Arithmetic order matches ``kernels.helmholtz_smooth_half`` exactly,
+  so results are bit-identical to the boxed path (tests/test_dense.py).
+* ``stencil_apply_dense`` — operator application / residual in one
+  pass (``box_lpl``/``box_helmh``, m_laplacian.f90:155-195).
+
+Levels too small (or not 8-aligned in y) run the same computation as
+plain jnp over the whole padded array — identical ops, identical
+results, negligible cost at those sizes.  Boundary values enter either
+as static scalars (the common case) or as padded planes kept resident
+in VMEM.
 """
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -43,6 +50,16 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+#: pad depths: z (untiled axis) needs only the 2-deep stencil halo;
+#: y (sublane axis) is padded to the Mosaic window-alignment quantum
+PZ = 2
+PY = 8
+
+
+def padded_shape(dims) -> Tuple[int, int, int]:
+    X, Y, Z = int(dims[0]), int(dims[1]), int(dims[2])
+    return (Z + 2 * PZ, Y + 2 * PY, X)
+
 
 def _roll(a, shift, axis, interpret):
     if interpret:
@@ -50,77 +67,12 @@ def _roll(a, shift, axis, interpret):
     return pltpu.roll(a, shift % a.shape[axis], axis=axis)
 
 
-def pick_tile(n: int, want: int = 32) -> int:
-    """Largest divisor of n that is <= want."""
-    t = min(want, n)
-    while n % t != 0:
-        t -= 1
-    return t
-
-
-def _neighbor_ops(p, d, axis, dims, gcoords, periodic, bc, bplanes_w,
-                  interpret):
-    """(lo, hi) neighbor-value arrays along dim d with inline BC synth.
-
-    p: current iterate over the window; gcoords[d]: global index along d
-    per window cell; bc[2*d], bc[2*d+1]: (c0, c1, c2) or None (periodic);
-    bplanes_w: per direction the boundary-value plane broadcast to the
-    window shape (or scalar 0.0).
-    """
-    lo_raw = _roll(p, +1, axis, interpret)
-    hi_raw = _roll(p, -1, axis, interpret)
-    if periodic[d]:
-        # x wraps are exact rolls; z/y wraps come from driver-maintained
-        # pad planes, and window-border wraparound lands only in rows
-        # whose results are never consumed
-        return lo_raw, hi_raw
-    g = gcoords[d]
-    n_d = dims[d]
-    c0l, c1l, c2l = bc[2 * d]
-    c0h, c1h, c2h = bc[2 * d + 1]
-    glo = c0l * bplanes_w[2 * d] + c1l * p
-    if c2l != 0.0:
-        glo = glo + c2l * hi_raw
-    ghi = c0h * bplanes_w[2 * d + 1] + c1h * p
-    if c2h != 0.0:
-        ghi = ghi + c2h * lo_raw
-    lo = jnp.where(g == 0, glo, lo_raw)
-    hi = jnp.where(g == n_d - 1, ghi, hi_raw)
-    return lo, hi
-
-
-def _window_iotas(tzp, typ, X, z0, y0):
-    shape = (tzp, typ, X)
-    gz = lax.broadcasted_iota(jnp.int32, shape, 0) + (z0 - 2)
-    gy = lax.broadcasted_iota(jnp.int32, shape, 1) + (y0 - 2)
-    gx = lax.broadcasted_iota(jnp.int32, shape, 2)
-    return gx, gy, gz
-
-
-def _start_input_dmas(phi_hbm, rhs_hbm, planes, z0, y0, tzp, typ,
-                      hphi, hrhs, hplanes, sems, need_rhs):
-    """Kick off all window DMAs; returns the copy descriptors."""
-    dmas = [pltpu.make_async_copy(
-        phi_hbm.at[pl.ds(z0, tzp), pl.ds(y0, typ), :], hphi, sems.at[0])]
-    if need_rhs:
-        dmas.append(pltpu.make_async_copy(
-            rhs_hbm.at[pl.ds(z0, tzp), pl.ds(y0, typ), :], hrhs,
-            sems.at[1]))
-    k = 2
-    for i, (pln, hp) in enumerate(zip(planes, hplanes)):
-        if pln is None:
-            continue
-        if i < 2:      # x faces: [ZP, YP] window (tzp, typ)
-            src = pln.at[pl.ds(z0, tzp), pl.ds(y0, typ)]
-        elif i < 4:    # y faces: [ZP, X] window (tzp, X)
-            src = pln.at[pl.ds(z0, tzp), :]
-        else:          # z faces: [YP, X] window (typ, X)
-            src = pln.at[pl.ds(y0, typ), :]
-        dmas.append(pltpu.make_async_copy(src, hp, sems.at[k]))
-        k += 1
-    for d in dmas:
-        d.start()
-    return dmas
+def _pick_tile(n: int, want: int, quantum: int = 1) -> Optional[int]:
+    """Largest divisor of n that is <= want and a multiple of quantum."""
+    for t in range(min(want, n), 0, -1):
+        if n % t == 0 and t % quantum == 0:
+            return t
+    return None
 
 
 class DenseStencilConfig:
@@ -128,20 +80,36 @@ class DenseStencilConfig:
 
     dims: (X, Y, Z) cell counts (dim order matches the tree's dr order,
     x fastest); idr2 likewise (x, y, z); bc: per direction nb=0..5
-    (x-,x+,y-,y+,z-,z+) a (c0,c1,c2) tuple or None when that axis is
-    periodic; periodic: (px, py, pz).
+    (x-,x+,y-,y+,z-,z+) a (c0,c1,c2) tuple (ignored on periodic axes);
+    b_const: per direction a static boundary value, or None when the
+    value varies over the face (then a plane input is used);
+    periodic: (px, py, pz).
     """
 
-    def __init__(self, dims, idr2, bc, periodic, dtype, tile=(32, 32),
-                 interpret=False):
+    def __init__(self, dims, idr2, bc, periodic, dtype, b_const=None,
+                 tile=(16, 48), interpret=False):
         self.X, self.Y, self.Z = int(dims[0]), int(dims[1]), int(dims[2])
+        self.dims = (self.X, self.Y, self.Z)
         self.idr2 = tuple(float(v) for v in idr2)
         self.bc = bc
         self.periodic = tuple(bool(p) for p in periodic)
         self.dtype = dtype
-        self.tz = pick_tile(self.Z, tile[0])
-        self.ty = pick_tile(self.Y, tile[1])
         self.interpret = interpret
+        self.b_const = list(b_const) if b_const is not None else [None] * 6
+        for i in range(6):
+            if self.periodic[i // 2]:
+                self.b_const[i] = 0.0
+        self.plane_faces = [i for i in range(6)
+                            if self.b_const[i] is None]
+        # plane-valued faces keep their windows resident in VMEM; use
+        # smaller tiles to leave room
+        want_z, want_y = tile if not self.plane_faces else (8, 32)
+        self.tz = _pick_tile(self.Z, want_z)
+        self.ty = _pick_tile(self.Y, want_y, quantum=PY)
+        #: whether the Mosaic kernel path is usable (alignment); tiny or
+        #: unaligned levels use the identical-jnp fallback
+        self.use_kernel = (self.ty is not None and self.tz is not None
+                           and self.Y % PY == 0)
         # denominator accumulated exactly like the boxed smoother
         s = 0.0
         for d in range(3):
@@ -149,19 +117,44 @@ class DenseStencilConfig:
         self.den0 = s
 
     @property
-    def padded_shape(self):
-        return (self.Z + 4, self.Y + 4, self.X)
+    def pshape(self):
+        return padded_shape((self.X, self.Y, self.Z))
 
 
-def _halfsweep(cfg: DenseStencilConfig, p, hrhs_w, lam, gcoords, bpw,
-               par_val):
-    """One masked GSRB half-sweep over the window; bitwise-identical
+def _neighbor_ops(cfg, p, d, axis, gcoords, bpw, interpret):
+    """(lo, hi) neighbor-value arrays along dim d with inline BC synth.
+
+    bpw: per direction the boundary value (scalar or array broadcast to
+    the window shape)."""
+    lo_raw = _roll(p, +1, axis, interpret)
+    hi_raw = _roll(p, -1, axis, interpret)
+    if cfg.periodic[d]:
+        # x wraps are exact rolls; z/y wraps come from driver-maintained
+        # pad planes, and window-border wraparound lands only in rows
+        # whose results are never consumed
+        return lo_raw, hi_raw
+    g = gcoords[d]
+    n_d = cfg.dims[d]
+    c0l, c1l, c2l = cfg.bc[2 * d]
+    c0h, c1h, c2h = cfg.bc[2 * d + 1]
+    glo = c0l * bpw[2 * d] + c1l * p
+    if c2l != 0.0:
+        glo = glo + c2l * hi_raw
+    ghi = c0h * bpw[2 * d + 1] + c1h * p
+    if c2h != 0.0:
+        ghi = ghi + c2h * lo_raw
+    lo = jnp.where(g == 0, glo, lo_raw)
+    hi = jnp.where(g == n_d - 1, ghi, hi_raw)
+    return lo, hi
+
+
+def _halfsweep(cfg, p, rhs_w, lam, gcoords, bpw, par_val, interpret):
+    """One masked GSRB half-sweep over a window; bitwise-identical
     arithmetic to kernels.helmholtz_smooth_half."""
-    acc = -hrhs_w
+    acc = -rhs_w
     # dim order 0=x(axis2), 1=y(axis1), 2=z(axis0), ascending like boxed
     for d, axis in ((0, 2), (1, 1), (2, 0)):
-        lo, hi = _neighbor_ops(p, d, axis, (cfg.X, cfg.Y, cfg.Z), gcoords,
-                               cfg.periodic, cfg.bc, bpw, cfg.interpret)
+        lo, hi = _neighbor_ops(cfg, p, d, axis, gcoords, bpw, interpret)
         acc = acc + cfg.idr2[d] * (lo + hi)
     new = acc / (cfg.den0 + lam)
     gx, gy, gz = gcoords
@@ -169,191 +162,188 @@ def _halfsweep(cfg: DenseStencilConfig, p, hrhs_w, lam, gcoords, bpw,
     return jnp.where(par == par_val, new, p)
 
 
+def _apply_expr(cfg, p, lam, gcoords, bpw, interpret):
+    """A(phi) over a window (boxed op_apply order: out = -lam*c;
+    out += idr2[d]*(lo + hi - 2c))."""
+    out = -lam * p
+    for d, axis in ((0, 2), (1, 1), (2, 0)):
+        lo, hi = _neighbor_ops(cfg, p, d, axis, gcoords, bpw, interpret)
+        out = out + cfg.idr2[d] * (lo + hi - 2.0 * p)
+    return out
+
+
+def _full_iotas(cfg):
+    gz = lax.broadcasted_iota(jnp.int32, cfg.pshape, 0) - PZ
+    gy = lax.broadcasted_iota(jnp.int32, cfg.pshape, 1) - PY
+    gx = lax.broadcasted_iota(jnp.int32, cfg.pshape, 2)
+    return gx, gy, gz
+
+
+def _bpw_full(cfg, bplanes):
+    """Boundary values broadcast against the full padded array."""
+    out = []
+    for i in range(6):
+        if cfg.b_const[i] is not None:
+            out.append(cfg.b_const[i])
+        elif i < 2:    # x faces: [ZP, YPW]
+            out.append(bplanes[i][:, :, None])
+        elif i < 4:    # y faces: [ZP, X]
+            out.append(bplanes[i][:, None, :])
+        else:          # z faces: [YPW, X]
+            out.append(bplanes[i][None, :, :])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# jnp fallback (identical computation over the whole padded array)
+# ---------------------------------------------------------------------------
+
+def _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity):
+    g = _full_iotas(cfg)
+    bpw = _bpw_full(cfg, bplanes)
+    p1 = _halfsweep(cfg, phi, rhs, lam, g, bpw, red_parity, True)
+    return _halfsweep(cfg, p1, rhs, lam, g, bpw, 1 - red_parity, True)
+
+
+def _apply_jnp(cfg, phi, rhs, lam, bplanes, residual):
+    g = _full_iotas(cfg)
+    bpw = _bpw_full(cfg, bplanes)
+    out = _apply_expr(cfg, phi, lam, g, bpw, True)
+    return rhs - out if residual else out
+
+
+# ---------------------------------------------------------------------------
+# Mosaic kernels
+# ---------------------------------------------------------------------------
+
+def _make_kernel(cfg: DenseStencilConfig, body):
+    """Shared scaffolding: window DMA in, ``body`` on the window,
+    core DMA out.  body(p_window, rhs_window, lam, gcoords, bpw) ->
+    window-shaped result."""
+    tz, ty, X = cfg.tz, cfg.ty, cfg.X
+    tzw, tyw = tz + 2 * PZ, ty + 2 * PY
+
+    def kernel(phi_hbm, rhs_hbm, b0, b1, b2, b3, b4, b5, lam_ref,
+               out_hbm, hphi, hrhs, sems):
+        zi = pl.program_id(0)
+        yi = pl.program_id(1)
+        z0 = zi * tz
+        y0 = yi * ty
+
+        in_phi = pltpu.make_async_copy(
+            phi_hbm.at[pl.ds(z0, tzw), pl.ds(y0, tyw), :], hphi,
+            sems.at[0])
+        in_rhs = pltpu.make_async_copy(
+            rhs_hbm.at[pl.ds(z0, tzw), pl.ds(y0, tyw), :], hrhs,
+            sems.at[1])
+        in_phi.start()
+        in_rhs.start()
+        in_phi.wait()
+        in_rhs.wait()
+
+        shape = (tzw, tyw, X)
+        gz = lax.broadcasted_iota(jnp.int32, shape, 0) + (z0 - PZ)
+        gy = lax.broadcasted_iota(jnp.int32, shape, 1) + (y0 - PY)
+        gx = lax.broadcasted_iota(jnp.int32, shape, 2)
+
+        # boundary values: static scalars, or windows of the resident
+        # VMEM planes (dynamic in-VMEM slices, no HBM windowing rules)
+        brefs = [b0, b1, b2, b3, b4, b5]
+        bpw = []
+        for i in range(6):
+            if cfg.b_const[i] is not None:
+                bpw.append(cfg.b_const[i])
+            elif i < 2:
+                w = brefs[i][pl.ds(z0, tzw), pl.ds(y0, tyw)]
+                bpw.append(w[:, :, None])
+            elif i < 4:
+                w = brefs[i][pl.ds(z0, tzw), :]
+                bpw.append(w[:, None, :])
+            else:
+                w = brefs[i][pl.ds(y0, tyw), :]
+                bpw.append(w[None, :, :])
+
+        lam = lam_ref[0, 0]
+        hphi[:] = body(hphi[:], hrhs[:], lam, (gx, gy, gz), bpw)
+        out_dma = pltpu.make_async_copy(
+            hphi.at[pl.ds(PZ, tz), pl.ds(PY, ty), :],
+            out_hbm.at[pl.ds(z0 + PZ, tz), pl.ds(y0 + PY, ty), :],
+            sems.at[2])
+        out_dma.start()
+        out_dma.wait()
+
+    return kernel
+
+
+def _call_kernel(cfg, body, phi, rhs, lam, bplanes):
+    tz, ty, X = cfg.tz, cfg.ty, cfg.X
+    tzw, tyw = tz + 2 * PZ, ty + 2 * PY
+    dt = cfg.dtype
+    grid = (cfg.Z // tz, cfg.Y // ty)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    zeros11 = jnp.zeros((1, 1), dt)
+    plane_args = []
+    plane_specs = []
+    for i in range(6):
+        if cfg.b_const[i] is None:
+            plane_args.append(bplanes[i])
+            plane_specs.append(vmem_spec)
+        else:
+            plane_args.append(zeros11)
+            plane_specs.append(smem_spec)
+    lam_arr = jnp.asarray(lam, dt).reshape(1, 1)
+
+    return pl.pallas_call(
+        _make_kernel(cfg, body),
+        out_shape=jax.ShapeDtypeStruct(cfg.pshape, dt),
+        grid=grid,
+        in_specs=[any_spec, any_spec] + plane_specs + [smem_spec],
+        out_specs=any_spec,
+        scratch_shapes=[pltpu.VMEM((tzw, tyw, X), dt),
+                        pltpu.VMEM((tzw, tyw, X), dt),
+                        pltpu.SemaphoreType.DMA((3,))],
+        interpret=cfg.interpret,
+    )(phi, rhs, *plane_args, lam_arr)
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+
 def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
                      red_parity: int):
     """Fused [red half-sweep, ghost refresh, black half-sweep].
 
-    phi/rhs: [Z+4, Y+4, X]; lam: scalar array; bplanes: list of 6
-    padded boundary-value planes (entries for periodic axes ignored).
+    phi/rhs: padded_shape(dims); lam: scalar; bplanes: 6 padded
+    boundary-value planes (only plane-valued faces are read).
     red_parity: global (gx+gy+gz)%2 value updated by the red sweep
     (the boxed path's substep-n mask corresponds to (n+1)%2).
-    Returns new phi [Z+4, Y+4, X] with garbage pads.
+    Returns new phi with garbage pads.
     """
-    tz, ty, X = cfg.tz, cfg.ty, cfg.X
-    tzp, typ = tz + 4, ty + 4
-    dt = cfg.dtype
-    planes_in = [None if cfg.periodic[i // 2] else bplanes[i]
-                 for i in range(6)]
-    n_dma = 2 + sum(p is not None for p in planes_in)
+    if not cfg.use_kernel:
+        return _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity)
 
-    def kernel(*refs):
-        (phi_hbm, rhs_hbm, bx_lo, bx_hi, by_lo, by_hi, bz_lo, bz_hi,
-         lam_ref, out_hbm) = refs[:10]
-        scr = refs[10:]
-        hphi, hrhs = scr[0], scr[1]
-        hplanes_all = []
-        k = 2
-        for i in range(6):
-            if planes_in[i] is None:
-                hplanes_all.append(None)
-            else:
-                hplanes_all.append(scr[k])
-                k += 1
-        sems = scr[k]
+    def body(p, r, lam_s, g, bpw):
+        p1 = _halfsweep(cfg, p, r, lam_s, g, bpw, red_parity,
+                        cfg.interpret)
+        return _halfsweep(cfg, p1, r, lam_s, g, bpw, 1 - red_parity,
+                          cfg.interpret)
 
-        zi = pl.program_id(0)
-        yi = pl.program_id(1)
-        z0 = zi * tz
-        y0 = yi * ty
-
-        plane_refs = [bx_lo, bx_hi, by_lo, by_hi, bz_lo, bz_hi]
-        dmas = _start_input_dmas(
-            phi_hbm, rhs_hbm,
-            [p if planes_in[i] is not None else None
-             for i, p in enumerate(plane_refs)],
-            z0, y0, tzp, typ, hphi, hrhs,
-            [h for h in hplanes_all if h is not None], sems, True)
-        for d in dmas:
-            d.wait()
-
-        gx, gy, gz = _window_iotas(tzp, typ, X, z0, y0)
-        bpw = [0.0] * 6
-        for i in range(6):
-            if hplanes_all[i] is None:
-                continue
-            w = hplanes_all[i][:]
-            if i < 2:
-                bpw[i] = w[:, :, None]
-            elif i < 4:
-                bpw[i] = w[:, None, :]
-            else:
-                bpw[i] = w[None, :, :]
-
-        lam = lam_ref[0, 0]
-        p0 = hphi[:]
-        r0 = hrhs[:]
-        p1 = _halfsweep(cfg, p0, r0, lam, (gx, gy, gz), bpw, red_parity)
-        p2 = _halfsweep(cfg, p1, r0, lam, (gx, gy, gz), bpw,
-                        1 - red_parity)
-        hphi[:] = p2
-        out_dma = pltpu.make_async_copy(
-            hphi.at[pl.ds(2, tz), pl.ds(2, ty), :],
-            out_hbm.at[pl.ds(z0 + 2, tz), pl.ds(y0 + 2, ty), :],
-            sems.at[n_dma])
-        out_dma.start()
-        out_dma.wait()
-
-    return _call_dense(cfg, kernel, phi, rhs, lam, bplanes, planes_in,
-                       n_dma, need_rhs=True)
+    return _call_kernel(cfg, body, phi, rhs, lam, bplanes)
 
 
 def stencil_apply_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
                         residual: bool):
-    """A(phi) (or rhs - A(phi)) on the interior in one pass
-    (box_lpl/box_helmh + residual_box, m_multigrid.f90:426-436)."""
-    tz, ty, X = cfg.tz, cfg.ty, cfg.X
-    tzp, typ = tz + 4, ty + 4
-    planes_in = [None if cfg.periodic[i // 2] else bplanes[i]
-                 for i in range(6)]
-    n_dma = 2 + sum(p is not None for p in planes_in)
+    """A(phi) (or rhs - A(phi)) in one pass (box_lpl/box_helmh +
+    residual_box, m_multigrid.f90:426-436)."""
+    if not cfg.use_kernel:
+        return _apply_jnp(cfg, phi, rhs, lam, bplanes, residual)
 
-    def kernel(*refs):
-        (phi_hbm, rhs_hbm, bx_lo, bx_hi, by_lo, by_hi, bz_lo, bz_hi,
-         lam_ref, out_hbm) = refs[:10]
-        scr = refs[10:]
-        hphi, hrhs = scr[0], scr[1]
-        hplanes_all = []
-        k = 2
-        for i in range(6):
-            if planes_in[i] is None:
-                hplanes_all.append(None)
-            else:
-                hplanes_all.append(scr[k])
-                k += 1
-        sems = scr[k]
+    def body(p, r, lam_s, g, bpw):
+        out = _apply_expr(cfg, p, lam_s, g, bpw, cfg.interpret)
+        return r - out if residual else out
 
-        zi = pl.program_id(0)
-        yi = pl.program_id(1)
-        z0 = zi * tz
-        y0 = yi * ty
-        plane_refs = [bx_lo, bx_hi, by_lo, by_hi, bz_lo, bz_hi]
-        dmas = _start_input_dmas(
-            phi_hbm, rhs_hbm,
-            [p if planes_in[i] is not None else None
-             for i, p in enumerate(plane_refs)],
-            z0, y0, tzp, typ, hphi, hrhs,
-            [h for h in hplanes_all if h is not None], sems,
-            residual)
-        for d in dmas:
-            d.wait()
-
-        gx, gy, gz = _window_iotas(tzp, typ, X, z0, y0)
-        bpw = [0.0] * 6
-        for i in range(6):
-            if hplanes_all[i] is None:
-                continue
-            w = hplanes_all[i][:]
-            bpw[i] = (w[:, :, None] if i < 2
-                      else w[:, None, :] if i < 4 else w[None, :, :])
-
-        lam = lam_ref[0, 0]
-        p0 = hphi[:]
-        # boxed order: out = -lam*c; out += idr2[d]*(lo + hi - 2c)
-        out = -lam * p0
-        for d, axis in ((0, 2), (1, 1), (2, 0)):
-            lo, hi = _neighbor_ops(p0, d, axis, (cfg.X, cfg.Y, cfg.Z),
-                                   (gx, gy, gz), cfg.periodic, cfg.bc,
-                                   bpw, cfg.interpret)
-            out = out + cfg.idr2[d] * (lo + hi - 2.0 * p0)
-        if residual:
-            out = hrhs[:] - out
-        hphi[:] = out
-        out_dma = pltpu.make_async_copy(
-            hphi.at[pl.ds(2, tz), pl.ds(2, ty), :],
-            out_hbm.at[pl.ds(z0 + 2, tz), pl.ds(y0 + 2, ty), :],
-            sems.at[n_dma])
-        out_dma.start()
-        out_dma.wait()
-
-    return _call_dense(cfg, kernel, phi, rhs, lam, bplanes, planes_in,
-                       n_dma, need_rhs=residual)
-
-
-def _call_dense(cfg, kernel, phi, rhs, lam, bplanes, planes_in, n_dma,
-                need_rhs):
-    tz, ty, X = cfg.tz, cfg.ty, cfg.X
-    tzp, typ = tz + 4, ty + 4
-    dt = cfg.dtype
-    ZP, YP = cfg.Z + 4, cfg.Y + 4
-    grid = (cfg.Z // tz, cfg.Y // ty)
-
-    scratch = [pltpu.VMEM((tzp, typ, X), dt), pltpu.VMEM((tzp, typ, X), dt)]
-    for i in range(6):
-        if planes_in[i] is None:
-            continue
-        if i < 2:
-            scratch.append(pltpu.VMEM((tzp, typ), dt))
-        elif i < 4:
-            scratch.append(pltpu.VMEM((tzp, X), dt))
-        else:
-            scratch.append(pltpu.VMEM((typ, X), dt))
-    scratch.append(pltpu.SemaphoreType.DMA((n_dma + 1,)))
-
-    any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    # placeholder (1,1) arrays for periodic-direction plane slots keep
-    # the argument list static
-    zeros11 = jnp.zeros((1, 1), dt)
-    plane_args = [bplanes[i] if planes_in[i] is not None else zeros11
-                  for i in range(6)]
-    lam_arr = jnp.asarray(lam, dt).reshape(1, 1)
-
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((ZP, YP, X), dt),
-        grid=grid,
-        in_specs=[any_spec] * 8 + [smem_spec],
-        out_specs=any_spec,
-        scratch_shapes=scratch,
-        interpret=cfg.interpret,
-    )(phi, rhs, *plane_args, lam_arr)
+    return _call_kernel(cfg, body, phi, rhs, lam, bplanes)

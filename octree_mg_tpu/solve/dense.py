@@ -1,8 +1,9 @@
 """Dense-level FAS multigrid solver for uniform (non-AMR) trees.
 
 The TPU-native fast path.  On a uniform tree every level is one dense
-rectangular grid; this solver stores each level as ``[Z+4, Y+4, X]``
-per variable (2-deep z/y pads, x unpadded in lanes) and runs the cycle
+rectangular grid; this solver stores each level as
+``[Z+2*PZ, Y+2*PY, X]`` per variable (see ops/dense_kernels for the
+pad geometry) and runs the cycle
 (``mg_fas_vcycle``/``mg_fas_fmg``, /root/reference/src/m_multigrid.f90
 :84-243) with:
 
@@ -64,7 +65,7 @@ def make_solver(tree: Tree, config: Optional[MGConfig] = None):
     return MGSolver(tree, cfg)
 
 
-_ISL = (slice(2, -2), slice(2, -2), slice(None))
+_ISL = (slice(dk.PZ, -dk.PZ), slice(dk.PY, -dk.PY), slice(None))
 
 
 class DenseMGSolver:
@@ -159,10 +160,17 @@ class DenseMGSolver:
         idr2 = tuple(float(x) for x in 1.0 / t.dr[lvl] ** 2)
         bc = self._bc_static(lvl)
         bc_full = [c if c is not None else (0.0, 0.0, 0.0) for c in bc]
+        # static boundary value per face where it is a constant (the
+        # common case; plane-valued faces keep a VMEM-resident plane)
+        b_const = []
+        for nbd in range(6):
+            spec = self.bc_spec[nbd]
+            b_const.append(float(spec["value"]) if spec["fn"] is None
+                           else None)
         return dk.DenseStencilConfig(
             dims=self.dims[lvl], idr2=idr2, bc=bc_full,
             periodic=self.periodic, dtype=self.cfg.dtype,
-            interpret=self.interpret)
+            b_const=b_const, interpret=self.interpret)
 
     @functools.cached_property
     def _kcfgs(self):
@@ -175,8 +183,7 @@ class DenseMGSolver:
         dt = self.cfg.dtype
         state = {"phi": {}, "rhs": {}, "iold": {}, "ires": {}, "bc": {}}
         for lvl in self.levels:
-            X, Y, Z = self.dims[lvl]
-            shape = (Z + 4, Y + 4, X)
+            shape = dk.padded_shape(self.dims[lvl])
             for k in ("phi", "rhs", "iold", "ires"):
                 state[k][lvl] = jnp.zeros(shape, dt)
             state["bc"][lvl] = self._eval_bc_planes(lvl)
@@ -209,21 +216,21 @@ class DenseMGSolver:
                 coords[..., 0] = r0[0] if nbd % 2 == 0 else hi[0]
                 coords[..., 1] = cy[None, :]
                 coords[..., 2] = cz[:, None]
-                pad = ((2, 2), (2, 2))
+                pad = ((dk.PZ, dk.PZ), (dk.PY, dk.PY))
             elif d == 1:
                 shape = (Z, X)
                 coords = np.zeros(shape + (3,))
                 coords[..., 1] = r0[1] if nbd % 2 == 0 else hi[1]
                 coords[..., 0] = cx[None, :]
                 coords[..., 2] = cz[:, None]
-                pad = ((2, 2), (0, 0))
+                pad = ((dk.PZ, dk.PZ), (0, 0))
             else:
                 shape = (Y, X)
                 coords = np.zeros(shape + (3,))
                 coords[..., 2] = r0[2] if nbd % 2 == 0 else hi[2]
                 coords[..., 0] = cx[None, :]
                 coords[..., 1] = cy[:, None]
-                pad = ((2, 2), (0, 0))
+                pad = ((dk.PY, dk.PY), (0, 0))
             if spec["fn"] is not None:
                 vals = np.asarray(spec["fn"](coords))
             else:
@@ -259,12 +266,13 @@ class DenseMGSolver:
         """Periodic wrap maintenance of the z/y pad planes (x wraps are
         exact in-kernel rolls).  No-op on non-periodic axes."""
         X, Y, Z = self.dims[lvl]
+        PZ, PY = dk.PZ, dk.PY
         if self.periodic[2]:
-            arr = arr.at[0:2].set(arr[Z:Z + 2])
-            arr = arr.at[Z + 2:Z + 4].set(arr[2:4])
+            arr = arr.at[PZ - 2:PZ].set(arr[Z + PZ - 2:Z + PZ])
+            arr = arr.at[Z + PZ:Z + PZ + 2].set(arr[PZ:PZ + 2])
         if self.periodic[1]:
-            arr = arr.at[:, 0:2].set(arr[:, Y:Y + 2])
-            arr = arr.at[:, Y + 2:Y + 4].set(arr[:, 2:4])
+            arr = arr.at[:, PY - 2:PY].set(arr[:, Y + PY - 2:Y + PY])
+            arr = arr.at[:, Y + PY:Y + PY + 2].set(arr[:, PY:PY + 2])
         return arr
 
     def _set(self, state, key, lvl, arr):
@@ -361,8 +369,9 @@ class DenseMGSolver:
 
             def pick(a, idx):
                 """Interior plane of dim d at interior index idx."""
-                sl = [slice(2, -2), slice(2, -2), slice(None)]
-                sl[ax] = idx if ax == 2 else idx + 2  # x axis is unpadded
+                sl = list(_ISL)
+                pad = (dk.PZ, dk.PY, 0)[ax]
+                sl[ax] = idx + pad
                 return a[tuple(sl)]
 
             if self.periodic[d]:
@@ -374,11 +383,11 @@ class DenseMGSolver:
                 x1i = pick(iold, 0 if lowside else n_d - 1)
                 x2i = pick(iold, 1 if lowside else n_d - 2)
                 if d == 0:
-                    bpl = bp[nbd][2:-2, 2:-2]
+                    bpl = bp[nbd][dk.PZ:-dk.PZ, dk.PY:-dk.PY]
                 elif d == 1:
-                    bpl = bp[nbd][2:-2, :]
+                    bpl = bp[nbd][dk.PZ:-dk.PZ, :]
                 else:
-                    bpl = bp[nbd][2:-2, :]
+                    bpl = bp[nbd][dk.PY:-dk.PY, :]
                 gphi = synth(phi, nbd, x1p, x2p, bpl)
                 giold = synth(iold, nbd, x1i, x2i, bpl)
             ring = gphi - giold

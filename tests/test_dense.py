@@ -143,7 +143,7 @@ def test_fmg_direct_coarse_converges():
     st = sd.apply_operator(st, out_key="rhs")
     for lvl in sd.levels:
         st = sd.set_interior(st, lvl, "phi",
-                             jnp.zeros_like(st["phi"][lvl][2:-2, 2:-2, :]))
+                             jnp.zeros_like(sd.interior(st, lvl, "phi")))
     top = sd.levels[-1]
     x = sd.cell_centers(top)
     sol = solution(x)
@@ -193,7 +193,7 @@ def test_rectangular_domain():
     st = sd.apply_operator(st, out_key="rhs")
     for lvl in sd.levels:
         st = sd.set_interior(st, lvl, "phi",
-                             jnp.zeros_like(st["phi"][lvl][2:-2, 2:-2, :]))
+                             jnp.zeros_like(sd.interior(st, lvl, "phi")))
     st, res = sd.fas_fmg(st)
     for _ in range(5):
         st, res = sd.fas_fmg(st, have_guess=True)
@@ -219,7 +219,7 @@ def test_helmholtz_dense():
     st = sd.apply_operator(st, lam=lam, out_key="rhs")
     for lvl in sd.levels:
         st = sd.set_interior(st, lvl, "phi",
-                             jnp.zeros_like(st["phi"][lvl][2:-2, 2:-2, :]))
+                             jnp.zeros_like(sd.interior(st, lvl, "phi")))
     st, res = sd.fas_fmg(st, lam=lam)
     for _ in range(5):
         st, res = sd.fas_fmg(st, lam=lam, have_guess=True)
