@@ -41,7 +41,7 @@ BASELINE_UNKNOWNS_PER_S = 2.0e8  # estimated Fortran/MPI single node (see above)
 def run(size, box, n_its=5, dtype_name="float32"):
     import jax
     import jax.numpy as jnp
-    from octree_mg_tpu import IPHI, IRES, IRHS, MGConfig, MGSolver, build_rectangle
+    from octree_mg_tpu import MGConfig, build_rectangle, make_solver
 
     dtype = getattr(jnp, dtype_name)
     dsz = np.full(3, size)
@@ -50,23 +50,18 @@ def run(size, box, n_its=5, dtype_name="float32"):
     _jax.config.update("jax_compilation_cache_dir",
                        os.environ["JAX_COMPILATION_CACHE_DIR"])
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    # fused = one XLA program per FMG: lowest dispatch overhead (the
-    # remote-TPU tunnel costs ~0.35 ms per dispatch, which dominates the
-    # split mode's ~11 dispatches/FMG); heavy one-time compile, made
-    # one-time by the persistent cache
-    mode = "fused"
-    solver = MGSolver(tree, MGConfig(operator="laplacian", dtype=dtype,
-                                     donate=True, fmg_mode=mode))
+    # make_solver picks the dense fast path (fused Pallas pair kernels,
+    # direct coarse solve) for this uniform 3D Poisson problem
+    solver = make_solver(tree, MGConfig(operator="laplacian", dtype=dtype,
+                                        donate=True, fmg_mode="fused"))
     state = solver.allocate()
 
     # random rhs on the top level, generated on-device (a host->device
     # copy of the full field would dominate setup time)
     top = solver.levels[-1]
-    st = solver.static[top]
-    n, nc = st["n_boxes"], st["nc"]
     key = jax.random.PRNGKey(0)
-    rhs = jax.random.normal(key, (n, nc + 2, nc + 2, nc + 2), dtype)
-    state["cc"][top] = state["cc"][top].at[IRHS].set(rhs)
+    state = solver.set_interior(
+        state, top, "rhs", jax.random.normal(key, (size,) * 3, dtype))
 
     # warmup/compile; the device->host scalar read is the only reliable
     # execution barrier on tunneled runtimes (block_until_ready can
@@ -80,8 +75,8 @@ def run(size, box, n_its=5, dtype_name="float32"):
     r1 = float(res)  # sync
     dt = time.perf_counter() - t0
 
-    n_boxes = sum(solver.static[l]["n_boxes"] for l in solver.levels)
-    unknowns = float(n_boxes) * box ** 3
+    unknowns = float(sum(int(np.prod(solver.dims[l]))
+                         for l in solver.levels))
     ups = unknowns * n_its / dt
     converged = r1 < r0
     return ups, dt / n_its, converged, r0, r1

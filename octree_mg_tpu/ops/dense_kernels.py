@@ -107,9 +107,12 @@ class DenseStencilConfig:
         self.tz = _pick_tile(self.Z, want_z)
         self.ty = _pick_tile(self.Y, want_y, quantum=PY)
         #: whether the Mosaic kernel path is usable (alignment); tiny or
-        #: unaligned levels use the identical-jnp fallback
+        #: unaligned levels use the identical-jnp fallback.  X must fill
+        #: whole lane tiles: DMA windows of a lane-padded array slice
+        #: dimension 2 at the logical size, which Mosaic requires to be
+        #: 128-aligned.
         self.use_kernel = (self.ty is not None and self.tz is not None
-                           and self.Y % PY == 0)
+                           and self.Y % PY == 0 and self.X % 128 == 0)
         # denominator accumulated exactly like the boxed smoother
         s = 0.0
         for d in range(3):

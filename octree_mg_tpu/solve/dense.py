@@ -315,11 +315,19 @@ class DenseMGSolver:
         return state, jnp.max(jnp.abs(state["ires"][lvl][_ISL]))
 
     def _restrict_into(self, state, lvl, key):
-        """Full-weighting restriction lvl -> lvl-1 (m_restrict.f90:183-194)."""
-        X, Y, Z = self.dims[lvl]
+        """Full-weighting restriction lvl -> lvl-1 (m_restrict.f90:183-194).
+
+        Written as strided-slice adds: a [Zc,2,Yc,2,Xc,2] reshape would
+        get a TPU tile layout padding the trailing (2,2) dims to (8,128)
+        — a 256x memory blowup at scale."""
         fine = state[key][lvl][_ISL]
-        avg = fine.reshape(Z // 2, 2, Y // 2, 2, X // 2, 2).mean(
-            axis=(1, 3, 5))
+        acc = None
+        for zb in (0, 1):
+            for yb in (0, 1):
+                for xb in (0, 1):
+                    t = fine[zb::2, yb::2, xb::2]
+                    acc = t if acc is None else acc + t
+        avg = acc / 8.0
         coarse = state[key][lvl - 1].at[_ISL].set(avg)
         return self._set(state, key, lvl - 1, coarse)
 
@@ -422,9 +430,22 @@ class DenseMGSolver:
 
         def interleave(a, b, d):
             ax = 2 - d
-            st = jnp.stack([a, b], axis=ax + 1)
+            if ax >= 1:
+                # lane/sublane axes: stack+reshape would create a tiled
+                # intermediate padding the size-2 dim to a full tile
+                # (up to 64x memory blowup at scale); strided scatters
+                # keep clean layouts
+                shape = list(a.shape)
+                shape[ax] *= 2
+                out = jnp.zeros(shape, a.dtype)
+                lo = [slice(None)] * 3
+                hi = [slice(None)] * 3
+                lo[ax] = slice(0, None, 2)
+                hi[ax] = slice(1, None, 2)
+                return out.at[tuple(lo)].set(a).at[tuple(hi)].set(b)
+            st = jnp.stack([a, b], axis=1)
             shape = list(a.shape)
-            shape[ax] *= 2
+            shape[0] *= 2
             return st.reshape(shape)
 
         def build(d_hi, bits):
