@@ -124,11 +124,14 @@ class DenseStencilConfig:
         return padded_shape((self.X, self.Y, self.Z))
 
 
-def _neighbor_ops(cfg, p, d, axis, gcoords, bpw, interpret):
+def _neighbor_ops(cfg, p, d, axis, gcoords, bpw, interpret, zgates=None):
     """(lo, hi) neighbor-value arrays along dim d with inline BC synth.
 
     bpw: per direction the boundary value (scalar or array broadcast to
-    the window shape)."""
+    the window shape).  zgates: optional traced (lo, hi) booleans that
+    gate the z-face BC synthesis — under z-slab sharding only the first/
+    last shard owns a physical z face; interior shards read their
+    ppermute-filled halo pads instead."""
     lo_raw = _roll(p, +1, axis, interpret)
     hi_raw = _roll(p, -1, axis, interpret)
     if cfg.periodic[d]:
@@ -146,18 +149,25 @@ def _neighbor_ops(cfg, p, d, axis, gcoords, bpw, interpret):
     ghi = c0h * bpw[2 * d + 1] + c1h * p
     if c2h != 0.0:
         ghi = ghi + c2h * lo_raw
-    lo = jnp.where(g == 0, glo, lo_raw)
-    hi = jnp.where(g == n_d - 1, ghi, hi_raw)
+    m_lo = g == 0
+    m_hi = g == n_d - 1
+    if d == 2 and zgates is not None:
+        m_lo = m_lo & zgates[0]
+        m_hi = m_hi & zgates[1]
+    lo = jnp.where(m_lo, glo, lo_raw)
+    hi = jnp.where(m_hi, ghi, hi_raw)
     return lo, hi
 
 
-def _halfsweep(cfg, p, rhs_w, lam, gcoords, bpw, par_val, interpret):
+def _halfsweep(cfg, p, rhs_w, lam, gcoords, bpw, par_val, interpret,
+               zgates=None):
     """One masked GSRB half-sweep over a window; bitwise-identical
     arithmetic to kernels.helmholtz_smooth_half."""
     acc = -rhs_w
     # dim order 0=x(axis2), 1=y(axis1), 2=z(axis0), ascending like boxed
     for d, axis in ((0, 2), (1, 1), (2, 0)):
-        lo, hi = _neighbor_ops(cfg, p, d, axis, gcoords, bpw, interpret)
+        lo, hi = _neighbor_ops(cfg, p, d, axis, gcoords, bpw, interpret,
+                               zgates)
         acc = acc + cfg.idr2[d] * (lo + hi)
     new = acc / (cfg.den0 + lam)
     gx, gy, gz = gcoords
@@ -165,12 +175,13 @@ def _halfsweep(cfg, p, rhs_w, lam, gcoords, bpw, par_val, interpret):
     return jnp.where(par == par_val, new, p)
 
 
-def _apply_expr(cfg, p, lam, gcoords, bpw, interpret):
+def _apply_expr(cfg, p, lam, gcoords, bpw, interpret, zgates=None):
     """A(phi) over a window (boxed op_apply order: out = -lam*c;
     out += idr2[d]*(lo + hi - 2c))."""
     out = -lam * p
     for d, axis in ((0, 2), (1, 1), (2, 0)):
-        lo, hi = _neighbor_ops(cfg, p, d, axis, gcoords, bpw, interpret)
+        lo, hi = _neighbor_ops(cfg, p, d, axis, gcoords, bpw, interpret,
+                               zgates)
         out = out + cfg.idr2[d] * (lo + hi - 2.0 * p)
     return out
 
@@ -201,17 +212,18 @@ def _bpw_full(cfg, bplanes):
 # jnp fallback (identical computation over the whole padded array)
 # ---------------------------------------------------------------------------
 
-def _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity):
+def _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity, zgates=None):
     g = _full_iotas(cfg)
     bpw = _bpw_full(cfg, bplanes)
-    p1 = _halfsweep(cfg, phi, rhs, lam, g, bpw, red_parity, True)
-    return _halfsweep(cfg, p1, rhs, lam, g, bpw, 1 - red_parity, True)
+    p1 = _halfsweep(cfg, phi, rhs, lam, g, bpw, red_parity, True, zgates)
+    return _halfsweep(cfg, p1, rhs, lam, g, bpw, 1 - red_parity, True,
+                      zgates)
 
 
-def _apply_jnp(cfg, phi, rhs, lam, bplanes, residual):
+def _apply_jnp(cfg, phi, rhs, lam, bplanes, residual, zgates=None):
     g = _full_iotas(cfg)
     bpw = _bpw_full(cfg, bplanes)
-    out = _apply_expr(cfg, phi, lam, g, bpw, True)
+    out = _apply_expr(cfg, phi, lam, g, bpw, True, zgates)
     return rhs - out if residual else out
 
 
@@ -227,7 +239,7 @@ def _make_kernel(cfg: DenseStencilConfig, body):
     tzw, tyw = tz + 2 * PZ, ty + 2 * PY
 
     def kernel(phi_hbm, rhs_hbm, b0, b1, b2, b3, b4, b5, lam_ref,
-               out_hbm, hphi, hrhs, sems):
+               zg_ref, out_hbm, hphi, hrhs, sems):
         zi = pl.program_id(0)
         yi = pl.program_id(1)
         z0 = zi * tz
@@ -267,7 +279,8 @@ def _make_kernel(cfg: DenseStencilConfig, body):
                 bpw.append(w[None, :, :])
 
         lam = lam_ref[0, 0]
-        hphi[:] = body(hphi[:], hrhs[:], lam, (gx, gy, gz), bpw)
+        zgates = (zg_ref[0, 0] != 0, zg_ref[0, 1] != 0)
+        hphi[:] = body(hphi[:], hrhs[:], lam, (gx, gy, gz), bpw, zgates)
         out_dma = pltpu.make_async_copy(
             hphi.at[pl.ds(PZ, tz), pl.ds(PY, ty), :],
             out_hbm.at[pl.ds(z0 + PZ, tz), pl.ds(y0 + PY, ty), :],
@@ -278,7 +291,7 @@ def _make_kernel(cfg: DenseStencilConfig, body):
     return kernel
 
 
-def _call_kernel(cfg, body, phi, rhs, lam, bplanes):
+def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates):
     tz, ty, X = cfg.tz, cfg.ty, cfg.X
     tzw, tyw = tz + 2 * PZ, ty + 2 * PY
     dt = cfg.dtype
@@ -298,18 +311,25 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes):
             plane_args.append(zeros11)
             plane_specs.append(smem_spec)
     lam_arr = jnp.asarray(lam, dt).reshape(1, 1)
+    if z_gates is None:
+        zg_arr = jnp.ones((1, 2), jnp.int32)
+    else:
+        zg_arr = jnp.stack([jnp.asarray(z_gates[0], jnp.int32),
+                            jnp.asarray(z_gates[1], jnp.int32)]
+                           ).reshape(1, 2)
 
     return pl.pallas_call(
         _make_kernel(cfg, body),
         out_shape=jax.ShapeDtypeStruct(cfg.pshape, dt),
         grid=grid,
-        in_specs=[any_spec, any_spec] + plane_specs + [smem_spec],
+        in_specs=[any_spec, any_spec] + plane_specs + [smem_spec,
+                                                       smem_spec],
         out_specs=any_spec,
         scratch_shapes=[pltpu.VMEM((tzw, tyw, X), dt),
                         pltpu.VMEM((tzw, tyw, X), dt),
                         pltpu.SemaphoreType.DMA((3,))],
         interpret=cfg.interpret,
-    )(phi, rhs, *plane_args, lam_arr)
+    )(phi, rhs, *plane_args, lam_arr, zg_arr)
 
 
 # ---------------------------------------------------------------------------
@@ -317,7 +337,7 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes):
 # ---------------------------------------------------------------------------
 
 def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
-                     red_parity: int):
+                     red_parity: int, z_gates=None):
     """Fused [red half-sweep, ghost refresh, black half-sweep].
 
     phi/rhs: padded_shape(dims); lam: scalar; bplanes: 6 padded
@@ -327,26 +347,26 @@ def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
     Returns new phi with garbage pads.
     """
     if not cfg.use_kernel:
-        return _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity)
+        return _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity, z_gates)
 
-    def body(p, r, lam_s, g, bpw):
+    def body(p, r, lam_s, g, bpw, zgates):
         p1 = _halfsweep(cfg, p, r, lam_s, g, bpw, red_parity,
-                        cfg.interpret)
+                        cfg.interpret, zgates)
         return _halfsweep(cfg, p1, r, lam_s, g, bpw, 1 - red_parity,
-                          cfg.interpret)
+                          cfg.interpret, zgates)
 
-    return _call_kernel(cfg, body, phi, rhs, lam, bplanes)
+    return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates)
 
 
 def stencil_apply_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
-                        residual: bool):
+                        residual: bool, z_gates=None):
     """A(phi) (or rhs - A(phi)) in one pass (box_lpl/box_helmh +
     residual_box, m_multigrid.f90:426-436)."""
     if not cfg.use_kernel:
-        return _apply_jnp(cfg, phi, rhs, lam, bplanes, residual)
+        return _apply_jnp(cfg, phi, rhs, lam, bplanes, residual, z_gates)
 
-    def body(p, r, lam_s, g, bpw):
-        out = _apply_expr(cfg, p, lam_s, g, bpw, cfg.interpret)
+    def body(p, r, lam_s, g, bpw, zgates):
+        out = _apply_expr(cfg, p, lam_s, g, bpw, cfg.interpret, zgates)
         return r - out if residual else out
 
-    return _call_kernel(cfg, body, phi, rhs, lam, bplanes)
+    return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates)
