@@ -76,7 +76,8 @@ class GhostDirMaps:
 class LevelMaps:
     lvl: int
     nc: int
-    n_boxes: int
+    n_boxes: int          # padded count (= n_real unless pad_to > 1)
+    n_real: int
     dirs: List[GhostDirMaps]
     # inter-level transfer (to/from lvl-1); None at lowest level
     parent_locs: Optional[np.ndarray]   # int32[n_parents(lvl-1)]
@@ -116,11 +117,17 @@ def _face_coords(tree: Tree, box_id: int, nb: int, nc: int) -> np.ndarray:
     return out
 
 
-def build_level_maps(tree: Tree, lvl: int) -> LevelMaps:
+def build_level_maps(tree: Tree, lvl: int, pad_to: int = 1) -> LevelMaps:
+    """pad_to > 1 pads the box axis to a multiple of pad_to with inert
+    boxes (no neighbors, no faces) so the level shards evenly across a
+    device mesh (the alternative to the reference's uneven rank chunks,
+    m_load_balance.f90:38-56).  Pad boxes hold zeros and stay zero
+    through every operation."""
     D = tree.ndim
     nc = tree.box_size_lvl[lvl]
     ids = tree.lvls[lvl].ids
     n = len(ids)
+    n_pad = -(-n // pad_to) * pad_to
     loc_of: Dict[int, int] = {int(b): i for i, b in enumerate(ids)}
 
     coarse_exists = lvl - 1 >= tree.lowest_lvl
@@ -134,13 +141,16 @@ def build_level_maps(tree: Tree, lvl: int) -> LevelMaps:
     phys_face_coords: List[np.ndarray] = []
     for nb in range(topo.num_neighbors(D)):
         nb_ids = tree.neighbors[ids, nb]
-        has_nb = nb_ids > NO_BOX
-        nb_loc = np.zeros(n, dtype=np.int32)
-        nb_loc[has_nb] = [loc_of[int(b)] for b in nb_ids[has_nb]]
+        has_nb = np.zeros(n_pad, dtype=bool)
+        has_nb[:n] = nb_ids > NO_BOX
+        nb_loc = np.zeros(n_pad, dtype=np.int32)
+        nb_loc[np.nonzero(has_nb)[0]] = [loc_of[int(b)]
+                                         for b in nb_ids[has_nb[:n]]]
         phys_mask = nb_ids == PHYS_BOUNDARY
         phys_loc = np.nonzero(phys_mask)[0].astype(np.int32)
         rb_mask = nb_ids == NO_BOX
         rb_loc = np.nonzero(rb_mask)[0].astype(np.int32)
+        del rb_mask
 
         rb_cidx = None
         if len(rb_loc) > 0:
@@ -211,13 +221,13 @@ def build_level_maps(tree: Tree, lvl: int) -> LevelMaps:
     leaf_locs = np.array([loc_of[int(b)] for b in tree.lvls[lvl].leaves],
                          dtype=np.int32)
 
-    return LevelMaps(lvl=lvl, nc=nc, n_boxes=n, dirs=dirs,
+    return LevelMaps(lvl=lvl, nc=nc, n_boxes=n_pad, n_real=n, dirs=dirs,
                      parent_locs=parent_locs, multi_child=multi_child,
                      leaf_locs=leaf_locs, phys_face_coords=phys_face_coords)
 
 
-def build_all_maps(tree: Tree) -> Dict[int, LevelMaps]:
-    return {lvl: build_level_maps(tree, lvl)
+def build_all_maps(tree: Tree, pad_to: int = 1) -> Dict[int, LevelMaps]:
+    return {lvl: build_level_maps(tree, lvl, pad_to)
             for lvl in range(tree.lowest_lvl, tree.highest_lvl + 1)}
 
 

@@ -79,7 +79,8 @@ def restrict_to_coarse(fine_plane: jnp.ndarray, coarse_plane: jnp.ndarray,
     (mg_restrict_lvl, m_restrict.f90:83-114)."""
     ndim = static_f["ndim"]
     nc = static_f["nc"]
-    interior = fine_plane[(slice(None),) + (slice(1, -1),) * ndim]
+    nr = static_f.get("n_real", fine_plane.shape[0])
+    interior = fine_plane[(slice(0, nr),) + (slice(1, -1),) * ndim]
     avg = _block_mean(interior, ndim)
     if static_f["multi_child"]:
         vals = _assemble_children(avg, ndim)

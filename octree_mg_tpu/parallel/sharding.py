@@ -37,7 +37,12 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 def level_shardable(solver, lvl: int, mesh: Mesh) -> bool:
     """A level is sharded when its box count is a multiple of the mesh
     size (Morton chunks of equal size); coarser levels are replicated —
-    the TPU analogue of coarse-level agglomeration."""
+    the TPU analogue of coarse-level agglomeration.
+
+    AMR levels rarely have mesh-multiple box counts naturally; build
+    the solver with ``MGConfig(pad_boxes_multiple=mesh.devices.size)``
+    so every level with >= mesh-size boxes shards (pad boxes are inert,
+    see indexmaps.build_level_maps)."""
     n = solver.static[lvl]["n_boxes"]
     nd = mesh.devices.size
     return n >= nd and n % nd == 0

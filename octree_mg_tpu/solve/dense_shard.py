@@ -220,13 +220,9 @@ class ShardedDenseMGSolver(DenseMGSolver):
         if self._ctx is None or not self.sharded[lvl]:
             return super()._restrict_into(state, lvl, key)
         fine = state[key][lvl][_ISL]
-        acc = None
-        for zb in (0, 1):
-            for yb in (0, 1):
-                for xb in (0, 1):
-                    t = fine[zb::2, yb::2, xb::2]
-                    acc = t if acc is None else acc + t
-        avg = acc / 8.0
+        avg = lax.reduce_window(fine, jnp.zeros((), fine.dtype),
+                                lax.add, (2, 2, 2), (2, 2, 2),
+                                "VALID") / 8.0
         if self.sharded[lvl - 1]:
             coarse = state[key][lvl - 1].at[_ISL].set(avg)
         else:

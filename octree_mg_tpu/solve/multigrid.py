@@ -96,6 +96,11 @@ class MGConfig:
     #: constant-coefficient cartesian smoother (experimental; falls back
     #: to the XLA kernel elsewhere).  Interpret mode on CPU backends.
     pallas_smoother: bool = False
+    #: pad every level's box count to a multiple of this (0/1 = off):
+    #: required for even box-axis sharding of AMR levels across a device
+    #: mesh (pad boxes are inert and stay zero); set to the mesh size
+    #: (see parallel/sharding.py)
+    pad_boxes_multiple: int = 0
     #: coarse-grid solve strategy on the dense path: "direct" solves
     #: the coarsest cycled level exactly via a precomputed eigenbasis
     #: (two small matmuls); "smooth" is the reference's iterate-to-
@@ -140,7 +145,8 @@ class MGSolver:
         #: whole-cycle granularity — XLA fuses the phases inside one
         #: program, so per-phase splits come from utils.timers.trace
         self.timers = Timers()
-        self.maps = indexmaps.build_all_maps(tree)
+        self.maps = indexmaps.build_all_maps(
+            tree, pad_to=max(1, cfg.pad_boxes_multiple))
         self._build_static()
         self._build_bc_defaults()
         self._dmaps = None  # built lazily (after BCs are final)
@@ -160,10 +166,16 @@ class MGSolver:
             m = self.maps[lvl]
             # uniform levels: every coarse box is a parent in id order, so
             # parent indexing degenerates to the identity and restriction/
-            # prolongation need no gather/scatter
+            # prolongation need no gather/scatter (disabled when the box
+            # axis is padded — pad rows sit between levels' counts)
+            coarse_padded = (lvl - 1 >= t.lowest_lvl and
+                             self.maps[lvl - 1].n_boxes
+                             != self.maps[lvl - 1].n_real)
             parents_identity = (
                 m.parent_locs is not None
                 and lvl - 1 >= t.lowest_lvl
+                and not coarse_padded
+                and m.n_boxes == m.n_real
                 and len(m.parent_locs) == len(t.lvls[lvl - 1].ids)
                 and bool(np.array_equal(m.parent_locs,
                                         np.arange(len(m.parent_locs)))))
@@ -171,13 +183,16 @@ class MGSolver:
                 "ndim": self.ndim,
                 "nc": m.nc,
                 "n_boxes": m.n_boxes,
+                "n_real": m.n_real,
                 "mp": [len(d.phys_loc) for d in m.dirs],
                 "mr": [len(d.rb_loc) for d in m.dirs],
                 "multi_child": m.multi_child,
                 "idr2": tuple(float(x) for x in 1.0 / t.dr[lvl] ** 2),
                 "dr": tuple(float(x) for x in t.dr[lvl]),
                 "parents_identity": parents_identity,
-                "leaves_all": len(t.lvls[lvl].leaves) == len(t.lvls[lvl].ids),
+                "leaves_all": (len(t.lvls[lvl].leaves)
+                               == len(t.lvls[lvl].ids)
+                               and m.n_boxes == m.n_real),
             }
 
     def _build_bc_defaults(self):
@@ -256,6 +271,9 @@ class MGSolver:
         dr0 = t.dr[lvl][0]
         ids = t.lvls[lvl].ids
         rmin = np.stack([box_r_min(t, int(b)) for b in ids])[:, 0]  # [n]
+        n_pad = self.static[lvl]["n_boxes"]
+        if n_pad > len(ids):  # inert pad boxes: any nonzero radius works
+            rmin = np.concatenate([rmin, np.ones(n_pad - len(ids))])
         i = np.arange(1, nc + 1)
         r_face = rmin[:, None] + dr0 * (i - 1)[None, :]       # face left of cell i
         r_face_hi = rmin[:, None] + dr0 * i[None, :]
@@ -484,7 +502,8 @@ class MGSolver:
         cc_c = state["cc"][lvl]
         corr = cc_c[IPHI] - cc_c[IOLD]
         vals = self.box_prolong(corr, dmaps[lvl + 1], self.static[lvl + 1])
-        isl = (slice(None),) + (slice(1, -1),) * self.ndim
+        nr = self.static[lvl + 1]["n_real"]
+        isl = (slice(0, nr),) + (slice(1, -1),) * self.ndim
         phi_f = state["cc"][lvl + 1][IPHI]
         phi_f = phi_f.at[isl].add(vals)
         return self._set_plane(state, lvl + 1, IPHI, phi_f)
@@ -495,7 +514,8 @@ class MGSolver:
         method = method or self.box_prolong
         vals = method(state["cc"][lvl][iv], dmaps[lvl + 1],
                       self.static[lvl + 1])
-        isl = (slice(None),) + (slice(1, -1),) * self.ndim
+        nr = self.static[lvl + 1]["n_real"]
+        isl = (slice(0, nr),) + (slice(1, -1),) * self.ndim
         plane = state["cc"][lvl + 1][iv_to]
         plane = plane.at[isl].add(vals) if add else plane.at[isl].set(vals)
         return self._set_plane(state, lvl + 1, iv_to, plane)
