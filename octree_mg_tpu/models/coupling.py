@@ -136,7 +136,7 @@ class HostCoupling:
             plane = state["cc"][lvl][iv]
             plane = plane.at[jnp.asarray(np.array(locs))].set(
                 jnp.asarray(np.stack(arrs), self.solver.cfg.dtype))
-            state = self.solver._set_plane(state, lvl, iv, plane)
+            state = self.solver.set_plane(state, lvl, iv, plane)
         if restrict:
             state = self.solver.restrict(state, iv)
             if restrict_gc:

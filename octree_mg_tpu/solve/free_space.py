@@ -209,9 +209,9 @@ class FreeSpacePoisson3D:
 
         if new_rhs:
             # restrict rhs down to the fft level (m_free_space.f90:115-118)
-            dmaps = sv._to_device()
+
             for l in range(t.highest_lvl, lvl, -1):
-                state = sv._restrict_lvl(state, dmaps, l, IRHS)
+                state = sv.restrict_level(state, l, IRHS)
 
             rhs_fac = -1.0 / (4.0 * np.pi)
             isl = (slice(None),) + (slice(1, -1),) * 3
@@ -245,13 +245,13 @@ class FreeSpacePoisson3D:
             nc = t.box_size_lvl[lvl]
             phi_boxes = phi_g.reshape(-1)[self._full_idx.reshape(-1)]
             phi_boxes = phi_boxes.reshape(-1, nc + 2, nc + 2, nc + 2)
-            state = sv._set_plane(state, lvl, IPHI, phi_boxes.astype(dt))
+            state = sv.set_plane(state, lvl, IPHI, phi_boxes.astype(dt))
             for l in range(lvl, t.lowest_lvl, -1):
-                state = sv._restrict_lvl(state, dmaps, l, IPHI)
+                state = sv.restrict_level(state, l, IPHI)
             for l in range(lvl, t.highest_lvl):
-                state = sv.prolong_lvl(state, dmaps, l, IPHI, IPHI,
+                state = sv.prolong_level(state, l, IPHI, IPHI,
                                        add=False)
-                state = sv._fill_ghost_lvl(state, dmaps, l + 1, IPHI)
+                state = sv.fill_ghost(state, IPHI, lvl=l + 1)
 
         res = jnp.asarray(0.0, dt)
         if lvl < t.highest_lvl:

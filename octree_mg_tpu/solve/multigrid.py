@@ -87,10 +87,10 @@ class MGConfig:
     #: serving of one configuration)
     fmg_mode: str = "split"
     #: read neighbor faces directly inside smoother half-sweeps instead
-    #: of materializing ghost cells between sweeps (one memory pass less
-    #: per substep; ghosts are still materialized once after the last
-    #: substep).  Applies to cartesian laplacian/helmholtz on levels
-    #: without refinement boundaries; bitwise-identical results.
+    #: of materializing ghost cells between sweeps.  Kept as a tested
+    #: negative result: bitwise-identical but ~15% slower on TPU than
+    #: the materialized path (concatenate copies vs fused slicing), and
+    #: superseded by the dense-path fused pair kernel.  Test-only.
     gathered_smoother: bool = False
     #: use the Pallas (Mosaic) lane-roll half-sweep kernel for the
     #: constant-coefficient cartesian smoother (experimental; falls back
@@ -758,6 +758,22 @@ class MGSolver:
                 if last:
                     res = r
         return state, res
+
+    # -- public state-access API (for drivers layered on the solver:
+    # free-space, coupling; keeps their code off private internals) ----
+    def set_plane(self, state, lvl: int, iv: int, plane):
+        """Replace one variable plane at a level."""
+        return self._set_plane(state, lvl, iv, plane)
+
+    def restrict_level(self, state, lvl: int, iv: int):
+        """Restrict one variable from lvl into lvl-1 (mg_restrict_lvl)."""
+        return self._restrict_lvl(state, self._to_device(), lvl, iv)
+
+    def prolong_level(self, state, lvl: int, iv: int, iv_to: int,
+                      add: bool = False, method=None):
+        """Prolong one variable from lvl onto lvl+1 (mg_prolong)."""
+        return self.prolong_lvl(state, self._to_device(), lvl, iv, iv_to,
+                                add, method)
 
     def fill_ghost(self, state, iv: int = IPHI, lvl: Optional[int] = None):
         dmaps = self._to_device()
