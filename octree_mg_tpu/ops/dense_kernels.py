@@ -370,3 +370,289 @@ def stencil_apply_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
         return r - out if residual else out
 
     return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates)
+
+
+# ---------------------------------------------------------------------------
+# inter-level transfer kernels (restriction / prolongation+correction)
+#
+# XLA's pooling/interleave ops measure ~20-35 GB/s on this chip class;
+# these kernels do the same numerics in one pass each.  Lane/sublane
+# pair-compaction uses a log-step pull network (exact permutation);
+# interleaving uses the riffle shuffle expressed as adjacent index-bit
+# swaps — both built from rolls + selects only (verified exact in
+# experiments/probe_mosaic_ops*.py).
+# ---------------------------------------------------------------------------
+
+def _compact_pairs(w, axis, interpret):
+    """w[..., j, ...] = w_in[..., 2j, ...]: keep even positions.
+
+    Pull network: after processing bit k, lane l holds input
+    l + (l mod 2^(k+1)); after all log2(n/2) bits, lane l < n/2 holds
+    input 2l."""
+    n = w.shape[axis]
+    idx = lax.broadcasted_iota(jnp.int32, w.shape, axis)
+    for k in range(int(np.log2(n // 2))):
+        sh = 1 << k
+        rolled = _roll(w, -sh, axis, interpret)
+        w = jnp.where((idx >> k) & 1 == 1, rolled, w)
+    sl = [slice(None)] * w.ndim
+    sl[axis] = slice(0, n // 2)
+    return w[tuple(sl)]
+
+
+def _riffle(c, axis, interpret):
+    """out[l] = c[rot_right_bits(l)]: interleave the two halves of c
+    (adjacent index-bit swaps, high to low)."""
+    n = c.shape[axis]
+    B = int(np.log2(n))
+    idx = lax.broadcasted_iota(jnp.int32, c.shape, axis)
+    for k in range(B - 2, -1, -1):
+        bit_lo = (idx >> k) & 1
+        bit_hi = (idx >> (k + 1)) & 1
+        up = _roll(c, (1 << k), axis, interpret)
+        dn = _roll(c, -(1 << k), axis, interpret)
+        c = jnp.where((bit_hi == 0) & (bit_lo == 1), dn,
+                      jnp.where((bit_hi == 1) & (bit_lo == 0), up, c))
+    return c
+
+
+def _interleave2(a, b, axis, interpret):
+    """[a0 b0 a1 b1 ...] along axis.
+
+    axis 0 (untiled z): stack+reshape is layout-trivial; tiled axes use
+    the riffle network."""
+    if axis == 0:
+        st = jnp.stack([a, b], axis=1)
+        return st.reshape((2 * a.shape[0],) + a.shape[1:])
+    c = jnp.concatenate([a, b], axis=axis)
+    return _riffle(c, axis, interpret)
+
+
+def _is_pow2(n):
+    return n > 0 and (n & (n - 1)) == 0
+
+
+def transfer_tiles(dims_c):
+    """(tzc, tyc) coarse tile sizes for the transfer kernels, or None
+    when the level pair cannot satisfy the alignment rules (the
+    compaction/riffle networks additionally need power-of-two lane and
+    tile-y extents)."""
+    Xc, Yc, Zc = dims_c
+    if Xc % 128 != 0 or Yc % PY != 0 or not _is_pow2(Xc):
+        return None
+    tzc = _pick_tile(Zc, 8)
+    tyc = next((t for t in (32, 16, 8) if Yc % t == 0), None)
+    if tzc is None or tyc is None:
+        return None
+    return tzc, tyc
+
+
+def restrict_dense(cfg_f: DenseStencilConfig, fine):
+    """Full-weighting restriction (m_restrict.f90:183-194) as one
+    kernel pass: fine padded -> coarse padded (garbage pads)."""
+    Xf, Yf, Zf = cfg_f.dims
+    dims_c = (Xf // 2, Yf // 2, Zf // 2)
+    tiles = transfer_tiles(dims_c)
+    interp = cfg_f.interpret
+    if tiles is None or Xf % 128 != 0:
+        raise ValueError("restrict_dense: unaligned level pair")
+    tzc, tyc = tiles
+    Xc = Xf // 2
+    dt = cfg_f.dtype
+
+    def kernel(fine_hbm, out_hbm, hfine, sems):
+        zi = pl.program_id(0)
+        yi = pl.program_id(1)
+        z0c = zi * tzc
+        y0c = yi * tyc
+        dma = pltpu.make_async_copy(
+            fine_hbm.at[pl.ds(2 * z0c + PZ, 2 * tzc),
+                        pl.ds(2 * y0c + PY, 2 * tyc), :],
+            hfine, sems.at[0])
+        dma.start()
+        dma.wait()
+        h = hfine[:].reshape(tzc, 2, 2 * tyc, Xf)
+        t = h[:, 0] + h[:, 1]
+        u = t + _roll(t, -1, 1, interp)
+        t = _compact_pairs(u, 1, interp)
+        u = t + _roll(t, -1, 2, interp)
+        t = _compact_pairs(u, 2, interp)
+        hout = t / 8.0
+
+        def write(scr, sem):
+            scr[:] = hout
+            out = pltpu.make_async_copy(
+                scr, out_hbm.at[pl.ds(z0c + PZ, tzc),
+                                pl.ds(y0c + PY, tyc), :], sem)
+            out.start()
+            out.wait()
+
+        pl.run_scoped(write, pltpu.VMEM((tzc, tyc, Xc), dt),
+                      pltpu.SemaphoreType.DMA)
+
+    grid = (dims_c[2] // tzc, dims_c[1] // tyc)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(padded_shape(dims_c), dt),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.VMEM((2 * tzc, 2 * tyc, Xf), dt),
+                        pltpu.SemaphoreType.DMA((1,))],
+        interpret=interp,
+    )(fine)
+
+
+def prolong_correct_dense(cfg_c: DenseStencilConfig, phi_c, iold_c,
+                          phi_f, bplanes_c, z_gates=None,
+                          add: bool = True):
+    """Fused correct_children (m_multigrid.f90:387-402): one kernel
+    computes corr = phi_c - iold_c with ghost-ring semantics (BC
+    synthesis / halo pads), applies mg_prolong_sparse D-linear weights
+    (m_prolong.f90:159-240), and adds the result into phi_f.
+
+    With add=False, iold_c is ignored and the prolonged phi_c replaces
+    phi_f's interior (mg_prolong set mode, used by FFT seeding)."""
+    Xc, Yc, Zc = cfg_c.dims
+    tiles = transfer_tiles((Xc, Yc, Zc))
+    if tiles is None or (2 * Xc) % 128 != 0:
+        raise ValueError("prolong_correct_dense: unaligned level pair")
+    tzc, tyc = tiles
+    interp = cfg_c.interpret
+    dt = cfg_c.dtype
+    Xf = 2 * Xc
+    dims_f = (Xf, 2 * Yc, 2 * Zc)
+    tzw, tyw = tzc + 2 * PZ, tyc + 2 * PY
+
+    planes_in = [None if cfg_c.b_const[i] is not None else bplanes_c[i]
+                 for i in range(6)]
+
+    def kernel(phic_hbm, ioldc_hbm, phif_hbm, b0, b1, b2, b3, b4, b5,
+               zg_ref, out_hbm, hpc, hic, hf, sems):
+        zi = pl.program_id(0)
+        yi = pl.program_id(1)
+        z0c = zi * tzc
+        y0c = yi * tyc
+        d1 = pltpu.make_async_copy(
+            phic_hbm.at[pl.ds(z0c, tzw), pl.ds(y0c, tyw), :], hpc,
+            sems.at[0])
+        d1.start()
+        d3 = pltpu.make_async_copy(
+            phif_hbm.at[pl.ds(2 * z0c + PZ, 2 * tzc),
+                        pl.ds(2 * y0c + PY, 2 * tyc), :], hf, sems.at[2])
+        d3.start()
+        if add:
+            d2 = pltpu.make_async_copy(
+                ioldc_hbm.at[pl.ds(z0c, tzw), pl.ds(y0c, tyw), :], hic,
+                sems.at[1])
+            d2.start()
+            d2.wait()
+        d1.wait()
+        d3.wait()
+
+        shape = (tzw, tyw, Xc)
+        gz = lax.broadcasted_iota(jnp.int32, shape, 0) + (z0c - PZ)
+        gy = lax.broadcasted_iota(jnp.int32, shape, 1) + (y0c - PY)
+        gx = lax.broadcasted_iota(jnp.int32, shape, 2)
+        gco = (gx, gy, gz)
+        brefs = [b0, b1, b2, b3, b4, b5]
+        bpw = []
+        for i in range(6):
+            if cfg_c.b_const[i] is not None:
+                bpw.append(cfg_c.b_const[i])
+            elif i < 2:
+                bpw.append(brefs[i][pl.ds(z0c, tzw),
+                                    pl.ds(y0c, tyw)][:, :, None])
+            elif i < 4:
+                bpw.append(brefs[i][pl.ds(z0c, tzw), :][:, None, :])
+            else:
+                bpw.append(brefs[i][pl.ds(y0c, tyw), :][None, :, :])
+        zgates = (zg_ref[0, 0] != 0, zg_ref[0, 1] != 0)
+
+        pc = hpc[:]
+        if add:
+            ic = hic[:]
+            corr = pc - ic
+        else:
+            corr = pc
+        # neighbor values of corr with ghost semantics: synth(phi) -
+        # synth(iold) at physical faces (matching the XLA path exactly)
+        lo = {}
+        hi = {}
+        for d, axis in ((0, 2), (1, 1), (2, 0)):
+            lop, hip = _neighbor_ops(cfg_c, pc, d, axis, gco, bpw,
+                                     interp, zgates)
+            if add:
+                loi, hii = _neighbor_ops(cfg_c, ic, d, axis, gco, bpw,
+                                         interp, zgates)
+                lo[d] = lop - loi
+                hi[d] = hip - hii
+            else:
+                lo[d] = lop
+                hi[d] = hip
+
+        # mg_prolong_sparse parity values (same accumulation order as
+        # transfer._prolong_block)
+        f0 = 0.25 * corr
+        vals = {0: f0}
+        for d in range(3):
+            new = {}
+            for key, a in vals.items():
+                new[key] = a + 0.25 * lo[d]
+                new[key | (1 << d)] = a + 0.25 * hi[d]
+            vals = new
+        core = (slice(PZ, PZ + tzc), slice(PY, PY + tyc), slice(None))
+        vals = {k: v[core] for k, v in vals.items()}
+
+        # assemble the fine tile: interleave x, then y, then z
+        def build(d_hi, bits):
+            if d_hi < 0:
+                return vals[bits]
+            a = build(d_hi - 1, bits)
+            b = build(d_hi - 1, bits | (1 << d_hi))
+            return _interleave2(a, b, 2 - d_hi, interp)
+
+        fine_vals = build(2, 0)
+        if add:
+            hf[:] = hf[:] + fine_vals
+        else:
+            hf[:] = fine_vals
+        out = pltpu.make_async_copy(
+            hf, out_hbm.at[pl.ds(2 * z0c + PZ, 2 * tzc),
+                           pl.ds(2 * y0c + PY, 2 * tyc), :], sems.at[3])
+        out.start()
+        out.wait()
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    zeros11 = jnp.zeros((1, 1), dt)
+    plane_args = []
+    plane_specs = []
+    for i in range(6):
+        if cfg_c.b_const[i] is None:
+            plane_args.append(bplanes_c[i])
+            plane_specs.append(vmem_spec)
+        else:
+            plane_args.append(zeros11)
+            plane_specs.append(smem_spec)
+    if z_gates is None:
+        zg_arr = jnp.ones((1, 2), jnp.int32)
+    else:
+        zg_arr = jnp.stack([jnp.asarray(z_gates[0], jnp.int32),
+                            jnp.asarray(z_gates[1], jnp.int32)]
+                           ).reshape(1, 2)
+
+    grid = (Zc // tzc, Yc // tyc)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(padded_shape(dims_f), dt),
+        grid=grid,
+        in_specs=[any_spec] * 3 + plane_specs + [smem_spec],
+        out_specs=any_spec,
+        scratch_shapes=[pltpu.VMEM((tzw, tyw, Xc), dt),
+                        pltpu.VMEM((tzw, tyw, Xc), dt),
+                        pltpu.VMEM((2 * tzc, 2 * tyc, Xf), dt),
+                        pltpu.SemaphoreType.DMA((4,))],
+        interpret=interp,
+    )(phi_c, iold_c, phi_f, *plane_args, zg_arr)

@@ -176,6 +176,15 @@ class DenseMGSolver:
     def _kcfgs(self):
         return {lvl: self._kcfg(lvl) for lvl in self.levels}
 
+    def _transfer_ok(self, lvl: int) -> bool:
+        """Whether the Mosaic transfer kernels cover lvl -> lvl-1."""
+        if lvl - 1 not in self.levels:
+            return False
+        cfg_f = self._kcfgs[lvl]
+        cfg_c = self._kcfgs[lvl - 1]
+        return (cfg_f.use_kernel
+                and dk.transfer_tiles(cfg_c.dims) is not None)
+
     # ------------------------------------------------------------------
     # state
     # ------------------------------------------------------------------
@@ -317,9 +326,13 @@ class DenseMGSolver:
     def _restrict_into(self, state, lvl, key):
         """Full-weighting restriction lvl -> lvl-1 (m_restrict.f90:183-194).
 
-        Uses lax.reduce_window (the TPU pooling path): a
-        [Zc,2,Yc,2,Xc,2] reshape would tile-pad the trailing (2,2) dims
-        256x, and lane-strided slice sums measure ~100x slower."""
+        One Mosaic kernel pass on aligned level pairs; smaller levels
+        use lax.reduce_window (the TPU pooling path — a [Zc,2,Yc,2,Xc,2]
+        reshape would tile-pad the trailing (2,2) dims 256x, and
+        lane-strided slice sums measure ~100x slower)."""
+        if self._transfer_ok(lvl):
+            coarse = dk.restrict_dense(self._kcfgs[lvl], state[key][lvl])
+            return self._set(state, key, lvl - 1, coarse)
         fine = state[key][lvl][_ISL]
         avg = jax.lax.reduce_window(fine, jnp.zeros((), fine.dtype),
                                     jax.lax.add, (2, 2, 2), (2, 2, 2),
@@ -454,10 +467,17 @@ class DenseMGSolver:
 
     def _correct_children(self, state, lvl_c, lam):
         """phi_fine += prolong(phi_c - iold_c) (correct_children,
-        m_multigrid.f90:387-402)."""
+        m_multigrid.f90:387-402); fused Mosaic kernel on aligned pairs."""
+        lvl = lvl_c + 1
+        if self._transfer_ok(lvl):
+            phi_c = self._sync_pads(state["phi"][lvl_c], lvl_c)
+            iold_c = self._sync_pads(state["iold"][lvl_c], lvl_c)
+            phi = dk.prolong_correct_dense(
+                self._kcfgs[lvl_c], phi_c, iold_c, state["phi"][lvl],
+                state["bc"][lvl_c])
+            return self._set(state, "phi", lvl, phi)
         corr = self._corr_with_ring(state, lvl_c)
         vals = self._prolong_rect(corr)
-        lvl = lvl_c + 1
         phi = state["phi"][lvl].at[_ISL].add(vals)
         return self._set(state, "phi", lvl, phi)
 

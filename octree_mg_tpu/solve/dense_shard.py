@@ -219,6 +219,9 @@ class ShardedDenseMGSolver(DenseMGSolver):
     def _restrict_into(self, state, lvl, key):
         if self._ctx is None or not self.sharded[lvl]:
             return super()._restrict_into(state, lvl, key)
+        if self.sharded[lvl - 1] and self._transfer_ok(lvl):
+            coarse = dk.restrict_dense(self._kcfgs[lvl], state[key][lvl])
+            return self._set(state, key, lvl - 1, coarse)
         fine = state[key][lvl][_ISL]
         avg = lax.reduce_window(fine, jnp.zeros((), fine.dtype),
                                 lax.add, (2, 2, 2), (2, 2, 2),
@@ -239,6 +242,14 @@ class ShardedDenseMGSolver(DenseMGSolver):
                                  and not self.sharded[lvl_c + 1]):
             return super()._correct_children(state, lvl_c, lam)
         if self.sharded[lvl_c]:
+            if self._transfer_ok(lvl_c + 1):
+                phi_c = self._sync_pads(state["phi"][lvl_c], lvl_c)
+                iold_c = self._sync_pads(state["iold"][lvl_c], lvl_c)
+                phi = dk.prolong_correct_dense(
+                    self._kcfgs[lvl_c], phi_c, iold_c,
+                    state["phi"][lvl_c + 1], state["bc"][lvl_c],
+                    z_gates=self._gates(lvl_c))
+                return self._set(state, "phi", lvl_c + 1, phi)
             corr = self._corr_with_ring_sharded(state, lvl_c)
         else:
             # replicated coarse -> sharded fine: every shard builds the

@@ -7,6 +7,7 @@ recipe validated in tests/test_pair_sweep.py).  Also checks the direct
 coarse solve and the reference manufactured-solution behavior
 (tests/test_uniform_grid.f90), including a rectangular domain.
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -240,3 +241,51 @@ def test_make_solver_dispatch():
     dsz2 = np.full(2, 16)
     tree2 = build_rectangle(2, dsz2, 8, 1.0 / dsz2, np.zeros(2))
     assert isinstance(make_solver(tree2, MGConfig()), MGSolver)
+
+
+def test_transfer_kernels_match_xla():
+    """Mosaic restriction/prolongation kernels (interpret mode) match
+    the XLA fallback path on an alignment-eligible rectangular grid."""
+    from octree_mg_tpu.ops import dense_kernels as dk
+
+    dsz = np.array([256, 16, 16])
+    tree = build_rectangle(3, dsz, 8, np.full(3, 1.0 / 256), np.zeros(3))
+    sd = DenseMGSolver(tree, MGConfig(operator="laplacian"))
+    sd.set_bc(0, BCType.DIRICHLET, fn=solution)
+    st = sd.allocate()
+    top = sd.levels[-1]
+    assert sd._transfer_ok(top)
+    rng = np.random.default_rng(11)
+    X, Y, Z = sd.dims[top]
+    st = sd.set_interior(st, top, "phi",
+                         jnp.asarray(rng.normal(size=(Z, Y, X))))
+    st = sd.set_interior(st, top, "iold",
+                         jnp.asarray(rng.normal(size=(Z, Y, X))))
+    Xc, Yc, Zc = sd.dims[top - 1]
+    st = sd.set_interior(st, top - 1, "phi",
+                         jnp.asarray(rng.normal(size=(Zc, Yc, Xc))))
+    st = sd.set_interior(st, top - 1, "iold",
+                         jnp.asarray(rng.normal(size=(Zc, Yc, Xc))))
+
+    # restriction: kernel vs reduce_window
+    coarse_k = dk.restrict_dense(sd._kcfgs[top], st["phi"][top])
+    fine = st["phi"][top][
+        (slice(dk.PZ, -dk.PZ), slice(dk.PY, -dk.PY), slice(None))]
+    avg = jax.lax.reduce_window(fine, jnp.zeros((), fine.dtype),
+                                jax.lax.add, (2, 2, 2), (2, 2, 2),
+                                "VALID") / 8.0
+    got = np.asarray(coarse_k[(slice(dk.PZ, -dk.PZ),
+                               slice(dk.PY, -dk.PY), slice(None))])
+    np.testing.assert_allclose(got, np.asarray(avg), rtol=0, atol=1e-13)
+
+    # prolongation+correction: kernel vs the XLA ring+interleave path
+    lam = jnp.asarray(0.0, jnp.float64)
+    st_k = sd._correct_children(dict(st), top - 1, lam)
+    # force the XLA path
+    ok = sd._transfer_ok
+    sd._transfer_ok = lambda lvl: False
+    st_x = sd._correct_children(dict(st), top - 1, lam)
+    sd._transfer_ok = ok
+    a = np.asarray(sd.interior(st_k, top, "phi"))
+    b = np.asarray(sd.interior(st_x, top, "phi"))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-13)
