@@ -124,14 +124,39 @@ class DenseStencilConfig:
         return padded_shape((self.X, self.Y, self.Z))
 
 
-def _neighbor_ops(cfg, p, d, axis, gcoords, bpw, interpret, zgates=None):
+def _face_masks(cfg, gcoords, zgates=None):
+    """Boundary masks per non-periodic dim and the checkerboard parity
+    array, computed ONCE per window and shared by both half-sweeps (and
+    by the operator/prolongation bodies) — mask/iota arithmetic is pure
+    VPU overhead on every cell, so hoisting it out of the sweeps
+    matters.
+
+    zgates: optional traced (lo, hi) booleans that gate the z-face BC
+    synthesis — under z-slab sharding only the first/last shard owns a
+    physical z face; interior shards read their ppermute-filled halo
+    pads instead."""
+    masks = {}
+    for d in range(3):
+        if cfg.periodic[d]:
+            masks[d] = None
+            continue
+        g = gcoords[d]
+        m_lo = g == 0
+        m_hi = g == cfg.dims[d] - 1
+        if d == 2 and zgates is not None:
+            m_lo = m_lo & zgates[0]
+            m_hi = m_hi & zgates[1]
+        masks[d] = (m_lo, m_hi)
+    gx, gy, gz = gcoords
+    par = (gx + gy + gz) % 2
+    return masks, par
+
+
+def _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret):
     """(lo, hi) neighbor-value arrays along dim d with inline BC synth.
 
     bpw: per direction the boundary value (scalar or array broadcast to
-    the window shape).  zgates: optional traced (lo, hi) booleans that
-    gate the z-face BC synthesis — under z-slab sharding only the first/
-    last shard owns a physical z face; interior shards read their
-    ppermute-filled halo pads instead."""
+    the window shape); masks: from :func:`_face_masks`."""
     lo_raw = _roll(p, +1, axis, interpret)
     hi_raw = _roll(p, -1, axis, interpret)
     if cfg.periodic[d]:
@@ -139,8 +164,6 @@ def _neighbor_ops(cfg, p, d, axis, gcoords, bpw, interpret, zgates=None):
         # pad planes, and window-border wraparound lands only in rows
         # whose results are never consumed
         return lo_raw, hi_raw
-    g = gcoords[d]
-    n_d = cfg.dims[d]
     c0l, c1l, c2l = cfg.bc[2 * d]
     c0h, c1h, c2h = cfg.bc[2 * d + 1]
     glo = c0l * bpw[2 * d] + c1l * p
@@ -149,39 +172,30 @@ def _neighbor_ops(cfg, p, d, axis, gcoords, bpw, interpret, zgates=None):
     ghi = c0h * bpw[2 * d + 1] + c1h * p
     if c2h != 0.0:
         ghi = ghi + c2h * lo_raw
-    m_lo = g == 0
-    m_hi = g == n_d - 1
-    if d == 2 and zgates is not None:
-        m_lo = m_lo & zgates[0]
-        m_hi = m_hi & zgates[1]
+    m_lo, m_hi = masks[d]
     lo = jnp.where(m_lo, glo, lo_raw)
     hi = jnp.where(m_hi, ghi, hi_raw)
     return lo, hi
 
 
-def _halfsweep(cfg, p, rhs_w, lam, gcoords, bpw, par_val, interpret,
-               zgates=None):
+def _halfsweep(cfg, p, rhs_w, lam, masks, par, bpw, par_val, interpret):
     """One masked GSRB half-sweep over a window; bitwise-identical
     arithmetic to kernels.helmholtz_smooth_half."""
     acc = -rhs_w
     # dim order 0=x(axis2), 1=y(axis1), 2=z(axis0), ascending like boxed
     for d, axis in ((0, 2), (1, 1), (2, 0)):
-        lo, hi = _neighbor_ops(cfg, p, d, axis, gcoords, bpw, interpret,
-                               zgates)
+        lo, hi = _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret)
         acc = acc + cfg.idr2[d] * (lo + hi)
-    new = acc / (cfg.den0 + lam)
-    gx, gy, gz = gcoords
-    par = (gx + gy + gz) % 2
+    new = acc * (1.0 / (cfg.den0 + lam))
     return jnp.where(par == par_val, new, p)
 
 
-def _apply_expr(cfg, p, lam, gcoords, bpw, interpret, zgates=None):
+def _apply_expr(cfg, p, lam, masks, bpw, interpret):
     """A(phi) over a window (boxed op_apply order: out = -lam*c;
     out += idr2[d]*(lo + hi - 2c))."""
     out = -lam * p
     for d, axis in ((0, 2), (1, 1), (2, 0)):
-        lo, hi = _neighbor_ops(cfg, p, d, axis, gcoords, bpw, interpret,
-                               zgates)
+        lo, hi = _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret)
         out = out + cfg.idr2[d] * (lo + hi - 2.0 * p)
     return out
 
@@ -214,16 +228,18 @@ def _bpw_full(cfg, bplanes):
 
 def _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity, zgates=None):
     g = _full_iotas(cfg)
+    masks, par = _face_masks(cfg, g, zgates)
     bpw = _bpw_full(cfg, bplanes)
-    p1 = _halfsweep(cfg, phi, rhs, lam, g, bpw, red_parity, True, zgates)
-    return _halfsweep(cfg, p1, rhs, lam, g, bpw, 1 - red_parity, True,
-                      zgates)
+    p1 = _halfsweep(cfg, phi, rhs, lam, masks, par, bpw, red_parity, True)
+    return _halfsweep(cfg, p1, rhs, lam, masks, par, bpw, 1 - red_parity,
+                      True)
 
 
 def _apply_jnp(cfg, phi, rhs, lam, bplanes, residual, zgates=None):
     g = _full_iotas(cfg)
+    masks, _ = _face_masks(cfg, g, zgates)
     bpw = _bpw_full(cfg, bplanes)
-    out = _apply_expr(cfg, phi, lam, g, bpw, True, zgates)
+    out = _apply_expr(cfg, phi, lam, masks, bpw, True)
     return rhs - out if residual else out
 
 
@@ -238,24 +254,55 @@ def _make_kernel(cfg: DenseStencilConfig, body):
     tz, ty, X = cfg.tz, cfg.ty, cfg.X
     tzw, tyw = tz + 2 * PZ, ty + 2 * PY
 
+    nyt = cfg.Y // ty
+    T = (cfg.Z // tz) * nyt
+
+    def tile_org(t):
+        z0 = pl.multiple_of((t // nyt) * tz, tz)
+        y0 = pl.multiple_of((t % nyt) * ty, ty)
+        return z0, y0
+
     def kernel(phi_hbm, rhs_hbm, b0, b1, b2, b3, b4, b5, lam_ref,
-               zg_ref, out_hbm, hphi, hrhs, sems):
-        zi = pl.program_id(0)
-        yi = pl.program_id(1)
-        z0 = zi * tz
-        y0 = yi * ty
+               zg_ref, out_hbm, hphi, hrhs, hout, sems_in, sems_out):
+        # double-buffered pipeline over a linearized grid: the window
+        # DMAs of tile t+1 are in flight while tile t computes, and the
+        # core write-back of tile t drains under tile t+1's compute
+        t = pl.program_id(0)
+        slot = lax.rem(t, 2)
+        nslot = lax.rem(t + 1, 2)
 
-        in_phi = pltpu.make_async_copy(
-            phi_hbm.at[pl.ds(z0, tzw), pl.ds(y0, tyw), :], hphi,
-            sems.at[0])
-        in_rhs = pltpu.make_async_copy(
-            rhs_hbm.at[pl.ds(z0, tzw), pl.ds(y0, tyw), :], hrhs,
-            sems.at[1])
-        in_phi.start()
-        in_rhs.start()
-        in_phi.wait()
-        in_rhs.wait()
+        def in_dmas(tt, s):
+            zz, yy = tile_org(tt)
+            return [
+                pltpu.make_async_copy(
+                    phi_hbm.at[pl.ds(zz, tzw), pl.ds(yy, tyw), :],
+                    hphi.at[s], sems_in.at[s, 0]),
+                pltpu.make_async_copy(
+                    rhs_hbm.at[pl.ds(zz, tzw), pl.ds(yy, tyw), :],
+                    hrhs.at[s], sems_in.at[s, 1]),
+            ]
 
+        def out_dma(tt, s):
+            zz, yy = tile_org(tt)
+            return pltpu.make_async_copy(
+                hout.at[s],
+                out_hbm.at[pl.ds(zz + PZ, tz), pl.ds(yy + PY, ty), :],
+                sems_out.at[s])
+
+        @pl.when(t == 0)
+        def _():
+            for d in in_dmas(0, 0):
+                d.start()
+
+        @pl.when(t + 1 < T)
+        def _():
+            for d in in_dmas(t + 1, nslot):
+                d.start()
+
+        for d in in_dmas(t, slot):
+            d.wait()
+
+        z0, y0 = tile_org(t)
         shape = (tzw, tyw, X)
         gz = lax.broadcasted_iota(jnp.int32, shape, 0) + (z0 - PZ)
         gy = lax.broadcasted_iota(jnp.int32, shape, 1) + (y0 - PY)
@@ -280,22 +327,33 @@ def _make_kernel(cfg: DenseStencilConfig, body):
 
         lam = lam_ref[0, 0]
         zgates = (zg_ref[0, 0] != 0, zg_ref[0, 1] != 0)
-        hphi[:] = body(hphi[:], hrhs[:], lam, (gx, gy, gz), bpw, zgates)
-        out_dma = pltpu.make_async_copy(
-            hphi.at[pl.ds(PZ, tz), pl.ds(PY, ty), :],
-            out_hbm.at[pl.ds(z0 + PZ, tz), pl.ds(y0 + PY, ty), :],
-            sems.at[2])
-        out_dma.start()
-        out_dma.wait()
+        masks, par = _face_masks(cfg, (gx, gy, gz), zgates)
+        res = body(hphi[slot], hrhs[slot], lam, masks, par, bpw)
 
-    return kernel
+        # reclaim this slot's out buffer (written two steps ago)
+        @pl.when(t >= 2)
+        def _():
+            out_dma(t - 2, slot).wait()
+
+        hout[slot] = res[PZ:PZ + tz, PY:PY + ty, :]
+        out_dma(t, slot).start()
+
+        @pl.when(t == T - 1)
+        def _():
+            out_dma(t, slot).wait()
+
+        @pl.when((t == T - 1) & (T >= 2))
+        def _():
+            out_dma(t - 1, nslot).wait()
+
+    return kernel, T
 
 
 def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates):
     tz, ty, X = cfg.tz, cfg.ty, cfg.X
     tzw, tyw = tz + 2 * PZ, ty + 2 * PY
     dt = cfg.dtype
-    grid = (cfg.Z // tz, cfg.Y // ty)
+    kernel, T = _make_kernel(cfg, body)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -319,15 +377,17 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates):
                            ).reshape(1, 2)
 
     return pl.pallas_call(
-        _make_kernel(cfg, body),
+        kernel,
         out_shape=jax.ShapeDtypeStruct(cfg.pshape, dt),
-        grid=grid,
+        grid=(T,),
         in_specs=[any_spec, any_spec] + plane_specs + [smem_spec,
                                                        smem_spec],
         out_specs=any_spec,
-        scratch_shapes=[pltpu.VMEM((tzw, tyw, X), dt),
-                        pltpu.VMEM((tzw, tyw, X), dt),
-                        pltpu.SemaphoreType.DMA((3,))],
+        scratch_shapes=[pltpu.VMEM((2, tzw, tyw, X), dt),
+                        pltpu.VMEM((2, tzw, tyw, X), dt),
+                        pltpu.VMEM((2, tz, ty, X), dt),
+                        pltpu.SemaphoreType.DMA((2, 2)),
+                        pltpu.SemaphoreType.DMA((2,))],
         interpret=cfg.interpret,
     )(phi, rhs, *plane_args, lam_arr, zg_arr)
 
@@ -349,11 +409,11 @@ def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
     if not cfg.use_kernel:
         return _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity, z_gates)
 
-    def body(p, r, lam_s, g, bpw, zgates):
-        p1 = _halfsweep(cfg, p, r, lam_s, g, bpw, red_parity,
-                        cfg.interpret, zgates)
-        return _halfsweep(cfg, p1, r, lam_s, g, bpw, 1 - red_parity,
-                          cfg.interpret, zgates)
+    def body(p, r, lam_s, masks, par, bpw):
+        p1 = _halfsweep(cfg, p, r, lam_s, masks, par, bpw, red_parity,
+                        cfg.interpret)
+        return _halfsweep(cfg, p1, r, lam_s, masks, par, bpw,
+                          1 - red_parity, cfg.interpret)
 
     return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates)
 
@@ -365,8 +425,8 @@ def stencil_apply_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
     if not cfg.use_kernel:
         return _apply_jnp(cfg, phi, rhs, lam, bplanes, residual, z_gates)
 
-    def body(p, r, lam_s, g, bpw, zgates):
-        out = _apply_expr(cfg, p, lam_s, g, bpw, cfg.interpret, zgates)
+    def body(p, r, lam_s, masks, par, bpw):
+        out = _apply_expr(cfg, p, lam_s, masks, bpw, cfg.interpret)
         return r - out if residual else out
 
     return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates)
@@ -568,6 +628,7 @@ def prolong_correct_dense(cfg_c: DenseStencilConfig, phi_c, iold_c,
             else:
                 bpw.append(brefs[i][pl.ds(y0c, tyw), :][None, :, :])
         zgates = (zg_ref[0, 0] != 0, zg_ref[0, 1] != 0)
+        masks, _ = _face_masks(cfg_c, gco, zgates)
 
         pc = hpc[:]
         if add:
@@ -580,11 +641,11 @@ def prolong_correct_dense(cfg_c: DenseStencilConfig, phi_c, iold_c,
         lo = {}
         hi = {}
         for d, axis in ((0, 2), (1, 1), (2, 0)):
-            lop, hip = _neighbor_ops(cfg_c, pc, d, axis, gco, bpw,
-                                     interp, zgates)
+            lop, hip = _neighbor_ops(cfg_c, pc, d, axis, masks, bpw,
+                                     interp)
             if add:
-                loi, hii = _neighbor_ops(cfg_c, ic, d, axis, gco, bpw,
-                                         interp, zgates)
+                loi, hii = _neighbor_ops(cfg_c, ic, d, axis, masks, bpw,
+                                         interp)
                 lo[d] = lop - loi
                 hi[d] = hip - hii
             else:

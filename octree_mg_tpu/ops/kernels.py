@@ -62,6 +62,9 @@ def helmholtz_smooth_half(phi: jnp.ndarray, rhs: jnp.ndarray, ndim: int,
     """One red-black half-sweep (m_laplacian.f90:52-114 / m_helmholtz.f90:48-108).
 
     fac = 1 / (2*sum(idr2) + lam); phi_new = fac*(sum idr2*(nbrs) - rhs).
+    Multiply-by-reciprocal like the reference's precomputed ``fac``
+    (m_laplacian.f90:64-65) — a vector divide is several times the cost
+    of a multiply on the VPU.
     """
     acc = -_iv(rhs, ndim, nc)
     s = 0.0
@@ -69,7 +72,7 @@ def helmholtz_smooth_half(phi: jnp.ndarray, rhs: jnp.ndarray, ndim: int,
         acc = acc + idr2[d] * (_iv(phi, ndim, nc, d, -1)
                                + _iv(phi, ndim, nc, d, +1))
         s = s + 2.0 * idr2[d]
-    new = acc / (s + lam)
+    new = acc * (1.0 / (s + lam))
     cur = _iv(phi, ndim, nc)
     return _set_interior(phi, ndim, jnp.where(upd_mask, new, cur))
 
@@ -164,7 +167,7 @@ def helmholtz_smooth_half_gathered(phi: jnp.ndarray, rhs: jnp.ndarray,
         lo, hi = shifts[d]
         acc = acc + idr2[d] * (lo + hi)
         s = s + 2.0 * idr2[d]
-    new = acc / (s + lam)
+    new = acc * (1.0 / (s + lam))
     cur = _iv(phi, ndim, nc)
     return _set_interior(phi, ndim, jnp.where(upd_mask, new, cur))
 

@@ -64,7 +64,12 @@ def pair_sweep(phi: jnp.ndarray, rhs: jnp.ndarray, ndim: int, nc: int,
     performs the trailing materialized fill, as smooth_boxes does).
     """
     mshape = (-1,) + (1,) * (ndim - 1)
-    fac_den = 2.0 * float(sum(idr2)) + lam
+    # accumulate the denominator exactly like helmholtz_smooth_half so
+    # the reciprocal is bit-identical
+    s = 0.0
+    for dd in range(ndim):
+        s = s + 2.0 * idr2[dd]
+    fac = 1.0 / (s + lam)
 
     # ---- red half-sweep on the interior (reads pre-pair ghosts) ----
     phi1 = helmholtz_smooth_half(phi, rhs, ndim, nc, idr2, lam,
@@ -102,7 +107,7 @@ def pair_sweep(phi: jnp.ndarray, rhs: jnp.ndarray, ndim: int, nc: int,
                 acc = acc + idr2[dd] * (_shift_t(s1, ndim, nc, ax, -1)
                                         + _shift_t(s1, ndim, nc, ax, +1))
                 td += 1
-        red_val = acc / fac_den
+        red_val = acc * fac
         upd = jnp.asarray(_face_parity_matches(ndim, nc, nb, cntr))
         ghost = jnp.where(upd, red_val, _interior_t(s1, ndim, nc))
         ghost = jnp.where(dm["has_nb"].reshape(mshape), ghost,

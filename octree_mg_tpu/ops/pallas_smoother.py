@@ -58,7 +58,10 @@ def half_sweep_flat(phi_flat: jnp.ndarray, rhs_flat: jnp.ndarray,
         shifts.append(nc + 2)
     if ndim == 3:
         shifts.append((nc + 2) ** 2)
-    fac_den = 2.0 * float(sum(idr2)) + lam
+    s = 0.0
+    for d in range(ndim):
+        s = s + 2.0 * idr2[d]
+    fac = 1.0 / (s + lam)
     mask = jnp.asarray(_mask_flat(ndim, nc, parity_val))
 
     def kernel(phi_ref, rhs_ref, mask_ref, out_ref):
@@ -68,7 +71,7 @@ def half_sweep_flat(phi_flat: jnp.ndarray, rhs_flat: jnp.ndarray,
             # pltpu.roll requires non-negative shifts; -sh == S - sh
             acc = acc + idr2[d] * (pltpu.roll(phi, sh, axis=1)
                                    + pltpu.roll(phi, S - sh, axis=1))
-        new = acc / fac_den
+        new = acc * fac
         out_ref[:] = jnp.where(mask_ref[:], new, phi)
 
     grid = (pl.cdiv(n, block_boxes),)
