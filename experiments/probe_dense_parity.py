@@ -21,41 +21,76 @@ from octree_mg_tpu.ops import dense_kernels as dk
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 
 
-def main():
+def sync_pads(arr, dims, periodic):
+    X, Y, Z = dims
+    PZ, PY = dk.PZ, dk.PY
+    if periodic[2]:
+        d = min(4, Z)
+        arr = arr.at[PZ - d:PZ].set(arr[Z + PZ - d:Z + PZ])
+        arr = arr.at[Z + PZ:Z + PZ + d].set(arr[PZ:PZ + d])
+    if periodic[1]:
+        d = min(4, Y)
+        arr = arr.at[:, PY - d:PY].set(arr[:, Y + PY - d:Y + PY])
+        arr = arr.at[:, Y + PY:Y + PY + d].set(arr[:, PY:PY + d])
+    return arr
+
+
+def check(periodic):
     dims = (SIZE, SIZE, SIZE)
     bc = [(2.0, -1.0, 0.0)] * 6          # Dirichlet
-    cfg = dk.DenseStencilConfig(dims, (1.0, 1.0, 1.0), bc,
-                                (False, False, False), jnp.float32,
-                                b_const=[0.0] * 6)
+    cfg = dk.DenseStencilConfig(dims, (1.0, 1.0, 1.0), bc, periodic,
+                                jnp.float32, b_const=[0.0] * 6)
     assert cfg.use_kernel, "kernel path must be eligible for this probe"
+    tag = "per" if periodic[0] else "dir"
     key = jax.random.PRNGKey(1)
     k1, k2 = jax.random.split(key)
     phi = jax.random.normal(k1, cfg.pshape, jnp.float32)
     rhs = jax.random.normal(k2, cfg.pshape, jnp.float32)
-    lam = jnp.asarray(0.3, jnp.float32)
+    lam = jnp.asarray(0.3, jnp.float32) if not periodic[0] else \
+        jnp.asarray(0.0, jnp.float32)
     planes = [None] * 6
     core = (slice(dk.PZ, dk.PZ + SIZE), slice(dk.PY, dk.PY + SIZE),
             slice(None))
+    sync = lambda a: sync_pads(a, dims, periodic)
 
-    pk = jax.jit(lambda p, r: dk.pair_sweep_dense(cfg, p, r, lam,
-                                                  planes, 0)[core])
-    pj = jax.jit(lambda p, r: dk._pair_jnp(cfg, p, r, lam, planes,
-                                           0)[core])
+    pk = jax.jit(lambda p, r: dk.pair_sweep_dense(
+        cfg, sync(p), sync(r), lam, planes, 0)[core])
+    pj = jax.jit(lambda p, r: dk._pair_jnp(
+        cfg, sync(p), sync(r), lam, planes, 0)[core])
     a = np.asarray(pk(phi, rhs))
     b = np.asarray(pj(phi, rhs))
     d = np.max(np.abs(a - b))
-    print(f"pair   max|kernel-jnp| = {d:.3e}", flush=True)
+    print(f"{tag} pair   max|kernel-jnp| = {d:.3e}", flush=True)
     assert d == 0.0, "pair kernel mismatch"
 
-    ak = jax.jit(lambda p, r: dk.stencil_apply_dense(cfg, p, r, lam,
-                                                     planes, True)[core])
-    aj = jax.jit(lambda p, r: dk._apply_jnp(cfg, p, r, lam, planes,
-                                            True)[core])
+    def two_jnp(p, r):
+        r = sync(r)
+        p = dk._pair_jnp(cfg, sync(p), r, lam, planes, 0)
+        return dk._pair_jnp(cfg, sync(p), r, lam, planes, 0)[core]
+
+    p2k = jax.jit(lambda p, r: dk.pair_sweep_dense(
+        cfg, sync(p), sync(r), lam, planes, 0, n_pairs=2)[core])
+    p2j = jax.jit(two_jnp)
+    a = np.asarray(p2k(phi, rhs))
+    b = np.asarray(p2j(phi, rhs))
+    d = np.max(np.abs(a - b))
+    print(f"{tag} pair2  max|kernel-jnp| = {d:.3e}", flush=True)
+    assert d == 0.0, "pair2 kernel mismatch"
+
+    ak = jax.jit(lambda p, r: dk.stencil_apply_dense(
+        cfg, sync(p), sync(r), lam, planes, True)[core])
+    aj = jax.jit(lambda p, r: dk._apply_jnp(
+        cfg, sync(p), sync(r), lam, planes, True)[core])
     a = np.asarray(ak(phi, rhs))
     b = np.asarray(aj(phi, rhs))
     d = np.max(np.abs(a - b))
-    print(f"apply  max|kernel-jnp| = {d:.3e}", flush=True)
+    print(f"{tag} apply  max|kernel-jnp| = {d:.3e}", flush=True)
     assert d == 0.0, "apply kernel mismatch"
+
+
+def main():
+    check((False, False, False))
+    check((True, True, True))
     print("PARITY OK", flush=True)
 
 

@@ -42,7 +42,12 @@ def main():
         body = lambda p, r, lam_s, masks, par, bpw: p
 
         def step(p, r):
-            return dk._call_kernel(cfg, body, p, r, lam, planes, None)
+            return dk._call_kernel(cfg, body, p, r, lam, planes, None,
+                                   hz=2)
+    elif WHAT == "pair2":
+        def step(p, r):
+            return dk.pair_sweep_dense(cfg, p, r, lam, planes, 0,
+                                       n_pairs=2)
     else:
         def step(p, r):
             return dk.pair_sweep_dense(cfg, p, r, lam, planes, 0)
@@ -61,10 +66,16 @@ def main():
         t0 = time.perf_counter()
         float(loop(phi, rhs))
         best = min(best, time.perf_counter() - t0)
-    amp = ((cfg.tz + 2 * dk.PZ) * (cfg.ty + 2 * dk.PY)) / (cfg.tz * cfg.ty)
-    gb = SIZE ** 3 * 4 * (2 * amp + 1) / 1e9
-    print(f"{WHAT}: {best/8*1e3:.2f} ms/pass ({gb/(best/8):.0f} GB/s "
-          f"at {2*amp+1:.2f}-pass model)", flush=True)
+    hz = 4 if WHAT == "pair2" else 2
+    npair = 2 if WHAT == "pair2" else 1
+    ampp = ((cfg.tz + 2 * hz) * (cfg.ty + 2 * dk.PY)) / (cfg.tz * cfg.ty)
+    ampr = ((cfg.tz + 2 * hz - 2) * (cfg.ty + 2 * dk.PY)) / (cfg.tz * cfg.ty)
+    passes = ampp + ampr + 1
+    gb = SIZE ** 3 * 4 * passes / 1e9
+    per = best / 8 / npair
+    print(f"{WHAT}: {per*1e3:.2f} ms/pair ({gb/(best/8):.0f} GB/s "
+          f"at {passes:.2f}-pass model, {passes/npair:.2f} passes/pair)",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -50,9 +50,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: pad depths: z (untiled axis) needs only the 2-deep stencil halo;
-#: y (sublane axis) is padded to the Mosaic window-alignment quantum
-PZ = 2
+#: pad depths: z (untiled axis) carries the 4-deep halo of the fused
+#: double-pair kernel (4 half-sweeps need a 4-deep valid ring); y
+#: (sublane axis) is padded to the Mosaic window-alignment quantum,
+#: which also covers the 4-deep y halo
+PZ = 4
 PY = 8
 
 
@@ -124,20 +126,25 @@ class DenseStencilConfig:
         return padded_shape((self.X, self.Y, self.Z))
 
 
-def _face_masks(cfg, gcoords, zgates=None):
-    """Boundary masks per non-periodic dim and the checkerboard parity
-    array, computed ONCE per window and shared by both half-sweeps (and
-    by the operator/prolongation bodies) — mask/iota arithmetic is pure
-    VPU overhead on every cell, so hoisting it out of the sweeps
-    matters.
+def _face_masks(cfg, gcoords, zgates=None, active=(True, True, True)):
+    """Boundary masks per non-periodic dim, computed ONCE per window
+    and shared by all sweeps/bodies.  gcoords are rank-1-broadcastable
+    iotas ((1,1,X) / (1,YW,1) / (ZW,1,1)) so the masks stay tiny in
+    VMEM — mask/iota arithmetic materialized at window size is pure
+    VPU + VMEM overhead on every cell.
 
     zgates: optional traced (lo, hi) booleans that gate the z-face BC
     synthesis — under z-slab sharding only the first/last shard owns a
     physical z face; interior shards read their ppermute-filled halo
-    pads instead."""
+    pads instead.
+
+    active[d]=False marks a dim whose boundary rows provably lie
+    outside this window: the mask is dropped entirely so the sweeps
+    skip that dim's ghost synthesis (bitwise exact — the synthesized
+    values would be where'd away on every cell anyway)."""
     masks = {}
     for d in range(3):
-        if cfg.periodic[d]:
+        if cfg.periodic[d] or not active[d]:
             masks[d] = None
             continue
         g = gcoords[d]
@@ -147,9 +154,18 @@ def _face_masks(cfg, gcoords, zgates=None):
             m_lo = m_lo & zgates[0]
             m_hi = m_hi & zgates[1]
         masks[d] = (m_lo, m_hi)
+    return masks
+
+
+def _parity_mask(gcoords, red_parity: int):
+    """Boolean "cell parity == red parity" mask (full window shape, the
+    only window-sized mask the sweeps need).  (gx+gy+gz)%2 == rp is
+    evaluated as an xor of per-axis parities so no window-sized int32
+    intermediate is materialized."""
     gx, gy, gz = gcoords
-    par = (gx + gy + gz) % 2
-    return masks, par
+    pyx = (gy + gx) % 2
+    pz = gz % 2
+    return (pyx != pz) if red_parity == 1 else (pyx == pz)
 
 
 def _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret):
@@ -159,10 +175,11 @@ def _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret):
     the window shape); masks: from :func:`_face_masks`."""
     lo_raw = _roll(p, +1, axis, interpret)
     hi_raw = _roll(p, -1, axis, interpret)
-    if cfg.periodic[d]:
-        # x wraps are exact rolls; z/y wraps come from driver-maintained
-        # pad planes, and window-border wraparound lands only in rows
-        # whose results are never consumed
+    if masks[d] is None:
+        # periodic (x wraps are exact rolls; z/y wraps come from driver-
+        # maintained pad planes, and window-border wraparound lands only
+        # in rows whose results are never consumed), or a dim whose
+        # boundary lies outside this window (interior-tile fast path)
         return lo_raw, hi_raw
     c0l, c1l, c2l = cfg.bc[2 * d]
     c0h, c1h, c2h = cfg.bc[2 * d + 1]
@@ -178,16 +195,19 @@ def _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret):
     return lo, hi
 
 
-def _halfsweep(cfg, p, rhs_w, lam, masks, par, bpw, par_val, interpret):
+def _halfsweep(cfg, p, rhs_w, lam, masks, upd, red, bpw, interpret):
     """One masked GSRB half-sweep over a window; bitwise-identical
-    arithmetic to kernels.helmholtz_smooth_half."""
+    arithmetic to kernels.helmholtz_smooth_half.
+
+    upd: boolean "parity == red parity" mask; red=True updates those
+    cells, red=False the complement (same mask, swapped select arms)."""
     acc = -rhs_w
     # dim order 0=x(axis2), 1=y(axis1), 2=z(axis0), ascending like boxed
     for d, axis in ((0, 2), (1, 1), (2, 0)):
         lo, hi = _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret)
         acc = acc + cfg.idr2[d] * (lo + hi)
     new = acc * (1.0 / (cfg.den0 + lam))
-    return jnp.where(par == par_val, new, p)
+    return jnp.where(upd, new, p) if red else jnp.where(upd, p, new)
 
 
 def _apply_expr(cfg, p, lam, masks, bpw, interpret):
@@ -200,11 +220,18 @@ def _apply_expr(cfg, p, lam, masks, bpw, interpret):
     return out
 
 
-def _full_iotas(cfg):
-    gz = lax.broadcasted_iota(jnp.int32, cfg.pshape, 0) - PZ
-    gy = lax.broadcasted_iota(jnp.int32, cfg.pshape, 1) - PY
-    gx = lax.broadcasted_iota(jnp.int32, cfg.pshape, 2)
+def _iotas(shape, z_off, y_off):
+    """Broadcastable per-axis global-coordinate iotas for a window (or
+    the full padded array)."""
+    ZW, YW, X = shape
+    gz = lax.broadcasted_iota(jnp.int32, (ZW, 1, 1), 0) + z_off
+    gy = lax.broadcasted_iota(jnp.int32, (1, YW, 1), 1) + y_off
+    gx = lax.broadcasted_iota(jnp.int32, (1, 1, X), 2)
     return gx, gy, gz
+
+
+def _full_iotas(cfg):
+    return _iotas(cfg.pshape, -PZ, -PY)
 
 
 def _bpw_full(cfg, bplanes):
@@ -228,16 +255,16 @@ def _bpw_full(cfg, bplanes):
 
 def _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity, zgates=None):
     g = _full_iotas(cfg)
-    masks, par = _face_masks(cfg, g, zgates)
+    masks = _face_masks(cfg, g, zgates)
+    upd = _parity_mask(g, red_parity)
     bpw = _bpw_full(cfg, bplanes)
-    p1 = _halfsweep(cfg, phi, rhs, lam, masks, par, bpw, red_parity, True)
-    return _halfsweep(cfg, p1, rhs, lam, masks, par, bpw, 1 - red_parity,
-                      True)
+    p1 = _halfsweep(cfg, phi, rhs, lam, masks, upd, True, bpw, True)
+    return _halfsweep(cfg, p1, rhs, lam, masks, upd, False, bpw, True)
 
 
 def _apply_jnp(cfg, phi, rhs, lam, bplanes, residual, zgates=None):
     g = _full_iotas(cfg)
-    masks, _ = _face_masks(cfg, g, zgates)
+    masks = _face_masks(cfg, g, zgates)
     bpw = _bpw_full(cfg, bplanes)
     out = _apply_expr(cfg, phi, lam, masks, bpw, True)
     return rhs - out if residual else out
@@ -247,12 +274,20 @@ def _apply_jnp(cfg, phi, rhs, lam, bplanes, residual, zgates=None):
 # Mosaic kernels
 # ---------------------------------------------------------------------------
 
-def _make_kernel(cfg: DenseStencilConfig, body):
+def _make_kernel(cfg: DenseStencilConfig, body, hz: int):
     """Shared scaffolding: window DMA in, ``body`` on the window,
-    core DMA out.  body(p_window, rhs_window, lam, gcoords, bpw) ->
-    window-shaped result."""
+    core DMA out.  body(p_window, rhs_window, lam, masks, gcoords, bpw) ->
+    window-shaped result.
+
+    hz: z halo depth of the phi window (<= PZ): 1 for one-ring stencil
+    application, 2 per fused GSRB pair.  The z axis is untiled so the
+    window may start at any row; y always carries the full PY halo
+    (sublane alignment).  The rhs window is trimmed by one row per side
+    (a k-sweep chain only ever consumes rhs within ring hz-1; the
+    untouched edge rows of the scratch hold stale values that feed only
+    discarded ring computations)."""
     tz, ty, X = cfg.tz, cfg.ty, cfg.X
-    tzw, tyw = tz + 2 * PZ, ty + 2 * PY
+    tzw, tyw = tz + 2 * hz, ty + 2 * PY
 
     nyt = cfg.Y // ty
     T = (cfg.Z // tz) * nyt
@@ -268,18 +303,19 @@ def _make_kernel(cfg: DenseStencilConfig, body):
         # DMAs of tile t+1 are in flight while tile t computes, and the
         # core write-back of tile t drains under tile t+1's compute
         t = pl.program_id(0)
-        slot = lax.rem(t, 2)
-        nslot = lax.rem(t + 1, 2)
+        slot = lax.rem(t, jnp.int32(2))
+        nslot = lax.rem(t + 1, jnp.int32(2))
 
         def in_dmas(tt, s):
             zz, yy = tile_org(tt)
+            zo = zz + (PZ - hz)
             return [
                 pltpu.make_async_copy(
-                    phi_hbm.at[pl.ds(zz, tzw), pl.ds(yy, tyw), :],
+                    phi_hbm.at[pl.ds(zo, tzw), pl.ds(yy, tyw), :],
                     hphi.at[s], sems_in.at[s, 0]),
                 pltpu.make_async_copy(
-                    rhs_hbm.at[pl.ds(zz, tzw), pl.ds(yy, tyw), :],
-                    hrhs.at[s], sems_in.at[s, 1]),
+                    rhs_hbm.at[pl.ds(zo + 1, tzw - 2), pl.ds(yy, tyw), :],
+                    hrhs.at[s, pl.ds(1, tzw - 2)], sems_in.at[s, 1]),
             ]
 
         def out_dma(tt, s):
@@ -303,10 +339,8 @@ def _make_kernel(cfg: DenseStencilConfig, body):
             d.wait()
 
         z0, y0 = tile_org(t)
-        shape = (tzw, tyw, X)
-        gz = lax.broadcasted_iota(jnp.int32, shape, 0) + (z0 - PZ)
-        gy = lax.broadcasted_iota(jnp.int32, shape, 1) + (y0 - PY)
-        gx = lax.broadcasted_iota(jnp.int32, shape, 2)
+        zo = z0 + (PZ - hz)
+        gx, gy, gz = _iotas((tzw, tyw, X), z0 - hz, y0 - PY)
 
         # boundary values: static scalars, or windows of the resident
         # VMEM planes (dynamic in-VMEM slices, no HBM windowing rules)
@@ -316,10 +350,10 @@ def _make_kernel(cfg: DenseStencilConfig, body):
             if cfg.b_const[i] is not None:
                 bpw.append(cfg.b_const[i])
             elif i < 2:
-                w = brefs[i][pl.ds(z0, tzw), pl.ds(y0, tyw)]
+                w = brefs[i][pl.ds(zo, tzw), pl.ds(y0, tyw)]
                 bpw.append(w[:, :, None])
             elif i < 4:
-                w = brefs[i][pl.ds(z0, tzw), :]
+                w = brefs[i][pl.ds(zo, tzw), :]
                 bpw.append(w[:, None, :])
             else:
                 w = brefs[i][pl.ds(y0, tyw), :]
@@ -327,15 +361,47 @@ def _make_kernel(cfg: DenseStencilConfig, body):
 
         lam = lam_ref[0, 0]
         zgates = (zg_ref[0, 0] != 0, zg_ref[0, 1] != 0)
-        masks, par = _face_masks(cfg, (gx, gy, gz), zgates)
-        res = body(hphi[slot], hrhs[slot], lam, masks, par, bpw)
+        g = (gx, gy, gz)
+        pw = hphi[slot]
+        rw = hrhs[slot]
+
+        def run(active):
+            def f():
+                masks = _face_masks(cfg, g, zgates, active=active)
+                return body(pw, rw, lam, masks, g, bpw)
+            return f
+
+        # interior-tile fast path: most windows contain no y/z boundary
+        # row, so their ghost-synthesis ops (the bulk of the per-cell
+        # VPU work beyond the stencil itself) are dropped via a scalar
+        # switch — bitwise exact, the masks would be all-false.  x
+        # boundaries span every window (full-width lanes), so x
+        # synthesis always runs.
+        sw = [d for d in (1, 2) if not cfg.periodic[d]]
+        if not sw:
+            res = run((True, True, True))()
+        else:
+            preds = {
+                1: (y0 <= PY) | (y0 + ty + PY >= cfg.Y),
+                2: (z0 <= hz) | (z0 + tz + hz >= cfg.Z),
+            }
+            idx = jnp.int32(0)
+            for k, d in enumerate(sw):
+                idx = idx + (1 << k) * preds[d].astype(jnp.int32)
+            branches = []
+            for bits in range(1 << len(sw)):
+                active = [True, True, True]
+                for k, d in enumerate(sw):
+                    active[d] = bool((bits >> k) & 1)
+                branches.append(run(tuple(active)))
+            res = lax.switch(idx, branches)
 
         # reclaim this slot's out buffer (written two steps ago)
         @pl.when(t >= 2)
         def _():
             out_dma(t - 2, slot).wait()
 
-        hout[slot] = res[PZ:PZ + tz, PY:PY + ty, :]
+        hout[slot] = res[hz:hz + tz, PY:PY + ty, :]
         out_dma(t, slot).start()
 
         @pl.when(t == T - 1)
@@ -349,11 +415,11 @@ def _make_kernel(cfg: DenseStencilConfig, body):
     return kernel, T
 
 
-def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates):
+def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz):
     tz, ty, X = cfg.tz, cfg.ty, cfg.X
-    tzw, tyw = tz + 2 * PZ, ty + 2 * PY
+    tzw, tyw = tz + 2 * hz, ty + 2 * PY
     dt = cfg.dtype
-    kernel, T = _make_kernel(cfg, body)
+    kernel, T = _make_kernel(cfg, body, hz)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -388,6 +454,11 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates):
                         pltpu.VMEM((2, tz, ty, X), dt),
                         pltpu.SemaphoreType.DMA((2, 2)),
                         pltpu.SemaphoreType.DMA((2,))],
+        # the 4-sweep body's scoped temporaries exceed the 16 MiB
+        # default accounting limit at 512-class windows; v5e cores carry
+        # more physical VMEM than the default admits
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=cfg.interpret,
     )(phi, rhs, *plane_args, lam_arr, zg_arr)
 
@@ -397,25 +468,44 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates):
 # ---------------------------------------------------------------------------
 
 def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
-                     red_parity: int, z_gates=None):
-    """Fused [red half-sweep, ghost refresh, black half-sweep].
+                     red_parity: int, z_gates=None, n_pairs: int = 1):
+    """Fused [red half-sweep, ghost refresh, black half-sweep] x n_pairs.
 
     phi/rhs: padded_shape(dims); lam: scalar; bplanes: 6 padded
     boundary-value planes (only plane-valued faces are read).
     red_parity: global (gx+gy+gz)%2 value updated by the red sweep
     (the boxed path's substep-n mask corresponds to (n+1)%2).
     Returns new phi with garbage pads.
+
+    n_pairs=2 fuses two full GSRB iterations (4 half-sweeps) into one
+    HBM pass with a 4-deep halo — each sweep shrinks the window's valid
+    ring by one, so a 4-sweep chain needs halo 4 (= PZ; the y halo PY=8
+    covers it).  Arithmetic per cell is unchanged: identical to running
+    two pair kernels with pad re-sync between (periodic pad rows evolve
+    in lockstep with their source rows, see the driver's _sync_pads).
     """
     if not cfg.use_kernel:
+        assert n_pairs == 1, "jnp fallback runs single pairs"
         return _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity, z_gates)
+    assert 2 * n_pairs <= PZ
 
-    def body(p, r, lam_s, masks, par, bpw):
-        p1 = _halfsweep(cfg, p, r, lam_s, masks, par, bpw, red_parity,
-                        cfg.interpret)
-        return _halfsweep(cfg, p1, r, lam_s, masks, par, bpw,
-                          1 - red_parity, cfg.interpret)
+    def body(p, r, lam_s, masks, g, bpw):
+        upd = _parity_mask(g, red_parity)
 
-    return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates)
+        def one(i, p):
+            p = _halfsweep(cfg, p, r, lam_s, masks, upd, True, bpw,
+                           cfg.interpret)
+            return _halfsweep(cfg, p, r, lam_s, masks, upd, False, bpw,
+                              cfg.interpret)
+
+        if n_pairs == 1:
+            return one(0, p)
+        # fori_loop (not unrolled python) so Mosaic reuses one pair's
+        # worth of scoped-VMEM temporaries across the chain
+        return lax.fori_loop(0, n_pairs, one, p)
+
+    return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates,
+                        hz=2 * n_pairs)
 
 
 def stencil_apply_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
@@ -425,11 +515,11 @@ def stencil_apply_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
     if not cfg.use_kernel:
         return _apply_jnp(cfg, phi, rhs, lam, bplanes, residual, z_gates)
 
-    def body(p, r, lam_s, masks, par, bpw):
+    def body(p, r, lam_s, masks, g, bpw):
         out = _apply_expr(cfg, p, lam_s, masks, bpw, cfg.interpret)
         return r - out if residual else out
 
-    return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates)
+    return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz=1)
 
 
 # ---------------------------------------------------------------------------
@@ -582,7 +672,9 @@ def prolong_correct_dense(cfg_c: DenseStencilConfig, phi_c, iold_c,
     dt = cfg_c.dtype
     Xf = 2 * Xc
     dims_f = (Xf, 2 * Yc, 2 * Zc)
-    tzw, tyw = tzc + 2 * PZ, tyc + 2 * PY
+    # prolongation reads a 1-ring of the coarse correction only
+    hz = 1
+    tzw, tyw = tzc + 2 * hz, tyc + 2 * PY
 
     planes_in = [None if cfg_c.b_const[i] is not None else bplanes_c[i]
                  for i in range(6)]
@@ -593,8 +685,9 @@ def prolong_correct_dense(cfg_c: DenseStencilConfig, phi_c, iold_c,
         yi = pl.program_id(1)
         z0c = zi * tzc
         y0c = yi * tyc
+        zo = z0c + (PZ - hz)
         d1 = pltpu.make_async_copy(
-            phic_hbm.at[pl.ds(z0c, tzw), pl.ds(y0c, tyw), :], hpc,
+            phic_hbm.at[pl.ds(zo, tzw), pl.ds(y0c, tyw), :], hpc,
             sems.at[0])
         d1.start()
         d3 = pltpu.make_async_copy(
@@ -603,32 +696,28 @@ def prolong_correct_dense(cfg_c: DenseStencilConfig, phi_c, iold_c,
         d3.start()
         if add:
             d2 = pltpu.make_async_copy(
-                ioldc_hbm.at[pl.ds(z0c, tzw), pl.ds(y0c, tyw), :], hic,
+                ioldc_hbm.at[pl.ds(zo, tzw), pl.ds(y0c, tyw), :], hic,
                 sems.at[1])
             d2.start()
             d2.wait()
         d1.wait()
         d3.wait()
 
-        shape = (tzw, tyw, Xc)
-        gz = lax.broadcasted_iota(jnp.int32, shape, 0) + (z0c - PZ)
-        gy = lax.broadcasted_iota(jnp.int32, shape, 1) + (y0c - PY)
-        gx = lax.broadcasted_iota(jnp.int32, shape, 2)
-        gco = (gx, gy, gz)
+        gco = _iotas((tzw, tyw, Xc), z0c - hz, y0c - PY)
         brefs = [b0, b1, b2, b3, b4, b5]
         bpw = []
         for i in range(6):
             if cfg_c.b_const[i] is not None:
                 bpw.append(cfg_c.b_const[i])
             elif i < 2:
-                bpw.append(brefs[i][pl.ds(z0c, tzw),
+                bpw.append(brefs[i][pl.ds(zo, tzw),
                                     pl.ds(y0c, tyw)][:, :, None])
             elif i < 4:
-                bpw.append(brefs[i][pl.ds(z0c, tzw), :][:, None, :])
+                bpw.append(brefs[i][pl.ds(zo, tzw), :][:, None, :])
             else:
                 bpw.append(brefs[i][pl.ds(y0c, tyw), :][None, :, :])
         zgates = (zg_ref[0, 0] != 0, zg_ref[0, 1] != 0)
-        masks, _ = _face_masks(cfg_c, gco, zgates)
+        masks = _face_masks(cfg_c, gco, zgates)
 
         pc = hpc[:]
         if add:
@@ -662,7 +751,7 @@ def prolong_correct_dense(cfg_c: DenseStencilConfig, phi_c, iold_c,
                 new[key] = a + 0.25 * lo[d]
                 new[key | (1 << d)] = a + 0.25 * hi[d]
             vals = new
-        core = (slice(PZ, PZ + tzc), slice(PY, PY + tyc), slice(None))
+        core = (slice(hz, hz + tzc), slice(PY, PY + tyc), slice(None))
         vals = {k: v[core] for k, v in vals.items()}
 
         # assemble the fine tile: interleave x, then y, then z

@@ -72,7 +72,7 @@ class DenseMGSolver:
     """FAS multigrid on dense uniform levels.
 
     State pytree:
-        {"phi": {lvl: [Z+4, Y+4, X]}, "rhs": {...}, "iold": {...},
+        {"phi": {lvl: [Z+2*PZ, Y+2*PY, X]}, "rhs": {...}, "iold": {...},
          "ires": {...}, "bc": {lvl: [6 padded boundary-value planes]}}
     """
 
@@ -244,7 +244,17 @@ class DenseMGSolver:
                 vals = np.asarray(spec["fn"](coords))
             else:
                 vals = np.full(shape, spec["value"])
-            out.append(jnp.asarray(np.pad(vals, pad), dt))
+            # pad axes that are periodic with wrapped values: halo pad
+            # rows (copies of wrapped interior rows) must synthesize
+            # their BC ghosts from the *source* row's boundary value so
+            # they evolve in lockstep through fused multi-sweep kernels
+            ax_dims = (2, 1) if d == 0 else ((2,) if d == 1 else (1,))
+            for ax, dim in enumerate(ax_dims):
+                p1 = [(0, 0)] * vals.ndim
+                p1[ax] = pad[ax]
+                mode = "wrap" if self.periodic[dim] else "constant"
+                vals = np.pad(vals, p1, mode=mode)
+            out.append(jnp.asarray(vals, dt))
         return out
 
     def cell_centers(self, lvl: int) -> np.ndarray:
@@ -273,15 +283,21 @@ class DenseMGSolver:
     # ------------------------------------------------------------------
     def _sync_pads(self, arr, lvl):
         """Periodic wrap maintenance of the z/y pad planes (x wraps are
-        exact in-kernel rolls).  No-op on non-periodic axes."""
+        exact in-kernel rolls).  No-op on non-periodic axes.
+
+        Depth 4 (clamped to the extent) feeds the fused double-pair
+        kernel's 4-deep halo; single pairs and the jnp fallback read
+        only the innermost 2."""
         X, Y, Z = self.dims[lvl]
         PZ, PY = dk.PZ, dk.PY
         if self.periodic[2]:
-            arr = arr.at[PZ - 2:PZ].set(arr[Z + PZ - 2:Z + PZ])
-            arr = arr.at[Z + PZ:Z + PZ + 2].set(arr[PZ:PZ + 2])
+            d = min(4, Z)
+            arr = arr.at[PZ - d:PZ].set(arr[Z + PZ - d:Z + PZ])
+            arr = arr.at[Z + PZ:Z + PZ + d].set(arr[PZ:PZ + d])
         if self.periodic[1]:
-            arr = arr.at[:, PY - 2:PY].set(arr[:, Y + PY - 2:Y + PY])
-            arr = arr.at[:, Y + PY:Y + PY + 2].set(arr[:, PY:PY + 2])
+            d = min(4, Y)
+            arr = arr.at[:, PY - d:PY].set(arr[:, Y + PY - d:Y + PY])
+            arr = arr.at[:, Y + PY:Y + PY + d].set(arr[:, PY:PY + d])
         return arr
 
     def _set(self, state, key, lvl, arr):
@@ -294,16 +310,21 @@ class DenseMGSolver:
         return jnp.asarray(lam, self.cfg.dtype)
 
     def _smooth(self, state, lvl, n_cycle, lam):
-        """n_cycle GSRB cycles = n_cycle fused pair kernels
+        """n_cycle GSRB cycles as fused pair kernels — double pairs (4
+        half-sweeps, one HBM pass) where the Mosaic path is available
         (smooth_boxes, m_multigrid.f90:404-424)."""
         cfg = self._kcfgs[lvl]
         phi = state["phi"][lvl]
         rhs = self._sync_pads(state["rhs"][lvl], lvl)
         bp = state["bc"][lvl]
-        for _ in range(n_cycle):
+        rem = n_cycle
+        while rem > 0:
+            k = 2 if (rem >= 2 and cfg.use_kernel) else 1
             phi = self._sync_pads(phi, lvl)
             # substeps n=1,2 -> red parity (n+1)%2 = 0
-            phi = dk.pair_sweep_dense(cfg, phi, rhs, lam, bp, red_parity=0)
+            phi = dk.pair_sweep_dense(cfg, phi, rhs, lam, bp,
+                                      red_parity=0, n_pairs=k)
+            rem -= k
         return self._set(state, "phi", lvl, phi)
 
     def _residual(self, state, lvl, lam):

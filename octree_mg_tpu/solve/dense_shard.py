@@ -168,8 +168,11 @@ class ShardedDenseMGSolver(DenseMGSolver):
         else:
             fwd = [(i, i + 1) for i in range(K - 1)]
             bwd = [(i, i - 1) for i in range(1, K)]
-        top = arr[Zl + PZ - 2:Zl + PZ]      # my top 2 interior planes
-        bot = arr[PZ:PZ + 2]                # my bottom 2 interior planes
+        # PZ(=4)-deep exchange: one ppermute pair per direction feeds
+        # the double-pair kernel's whole halo (two GSRB iterations per
+        # exchange — half the per-pair ICI latency of a 2-deep halo)
+        top = arr[Zl + PZ - PZ:Zl + PZ]     # my top PZ interior planes
+        bot = arr[PZ:2 * PZ]                # my bottom PZ interior planes
         from_prev = lax.ppermute(top, AXIS, fwd)
         from_next = lax.ppermute(bot, AXIS, bwd)
         arr = arr.at[0:PZ].set(from_prev)
@@ -178,8 +181,9 @@ class ShardedDenseMGSolver(DenseMGSolver):
         X, Y, _ = self.dims[lvl]
         PY = dk.PY
         if self.periodic[1]:
-            arr = arr.at[:, PY - 2:PY].set(arr[:, Y + PY - 2:Y + PY])
-            arr = arr.at[:, Y + PY:Y + PY + 2].set(arr[:, PY:PY + 2])
+            d = min(4, Y)
+            arr = arr.at[:, PY - d:PY].set(arr[:, Y + PY - d:Y + PY])
+            arr = arr.at[:, Y + PY:Y + PY + d].set(arr[:, PY:PY + d])
         return arr
 
     def _smooth(self, state, lvl, n_cycle, lam):
@@ -188,10 +192,14 @@ class ShardedDenseMGSolver(DenseMGSolver):
         rhs = self._sync_pads(state["rhs"][lvl], lvl)
         bp = state["bc"][lvl]
         zg = self._gates(lvl)
-        for _ in range(n_cycle):
+        rem = n_cycle
+        while rem > 0:
+            k = 2 if (rem >= 2 and cfg.use_kernel) else 1
             phi = self._sync_pads(phi, lvl)
             phi = dk.pair_sweep_dense(cfg, phi, rhs, lam, bp,
-                                      red_parity=0, z_gates=zg)
+                                      red_parity=0, z_gates=zg,
+                                      n_pairs=k)
+            rem -= k
         return self._set(state, "phi", lvl, phi)
 
     def _residual(self, state, lvl, lam):

@@ -289,3 +289,61 @@ def test_transfer_kernels_match_xla():
     a = np.asarray(sd.interior(st_k, top, "phi"))
     b = np.asarray(sd.interior(st_x, top, "phi"))
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-13)
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_stencil_kernels_interpret(periodic):
+    """Mosaic pair / double-pair / apply kernels (interpret mode) are
+    bitwise equal to the jnp fallback on an alignment-eligible grid —
+    including the double pair vs two synced single pairs."""
+    from octree_mg_tpu.ops import dense_kernels as dk
+
+    dims = (128, 16, 16)  # X mult of 128, Y mult of 8: kernel-eligible
+    per = (periodic,) * 3
+    bc = [(2.0, -1.0, 0.0)] * 6
+    cfg = dk.DenseStencilConfig(dims, (1.0, 2.0, 3.0), bc, per,
+                                jnp.float64, b_const=[0.5] * 6,
+                                interpret=True)
+    assert cfg.use_kernel
+    rng = np.random.default_rng(7)
+    phi = jnp.asarray(rng.normal(size=cfg.pshape))
+    rhs = jnp.asarray(rng.normal(size=cfg.pshape))
+    lam = jnp.asarray(0.0 if periodic else 0.3, jnp.float64)
+    planes = [None] * 6
+    X, Y, Z = dims
+    core = (slice(dk.PZ, dk.PZ + Z), slice(dk.PY, dk.PY + Y),
+            slice(None))
+
+    def sync(a):
+        if not periodic:
+            return a
+        PZ, PY = dk.PZ, dk.PY
+        d = min(4, Z)
+        a = a.at[PZ - d:PZ].set(a[Z + PZ - d:Z + PZ])
+        a = a.at[Z + PZ:Z + PZ + d].set(a[PZ:PZ + d])
+        d = min(4, Y)
+        a = a.at[:, PY - d:PY].set(a[:, Y + PY - d:Y + PY])
+        a = a.at[:, Y + PY:Y + PY + d].set(a[:, PY:PY + d])
+        return a
+
+    # NB: on-chip (Mosaic) the kernels are BITWISE equal to the jnp
+    # path (experiments/probe_dense_parity.py asserts == 0.0); under
+    # CPU interpret mode XLA contracts FMAs differently between the two
+    # programs, so this structural test allows ~1 ulp.
+    close = lambda x, y: np.testing.assert_allclose(
+        np.asarray(x), np.asarray(y), rtol=0, atol=5e-14)
+    phi_s, rhs_s = sync(phi), sync(rhs)
+    a = dk.pair_sweep_dense(cfg, phi_s, rhs_s, lam, planes, 0)[core]
+    b = dk._pair_jnp(cfg, phi_s, rhs_s, lam, planes, 0)[core]
+    close(a, b)
+
+    a2 = dk.pair_sweep_dense(cfg, phi_s, rhs_s, lam, planes, 0,
+                             n_pairs=2)[core]
+    mid = dk._pair_jnp(cfg, phi_s, rhs_s, lam, planes, 0)
+    b2 = dk._pair_jnp(cfg, sync(mid), rhs_s, lam, planes, 0)[core]
+    close(a2, b2)
+
+    ra = dk.stencil_apply_dense(cfg, phi_s, rhs_s, lam, planes,
+                                True)[core]
+    rb = dk._apply_jnp(cfg, phi_s, rhs_s, lam, planes, True)[core]
+    close(ra, rb)
