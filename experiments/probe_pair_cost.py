@@ -21,6 +21,8 @@ from octree_mg_tpu.ops import dense_kernels as dk
 
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 WHAT = sys.argv[2] if len(sys.argv) > 2 else "dma"
+TILE = ((int(sys.argv[3]), int(sys.argv[4])) if len(sys.argv) > 4
+        else (16, 48))
 
 
 def main():
@@ -28,7 +30,7 @@ def main():
     bc = [(2.0, -1.0, 0.0)] * 6
     cfg = dk.DenseStencilConfig(dims, (1.0, 1.0, 1.0), bc,
                                 (False, False, False), jnp.float32,
-                                b_const=[0.0] * 6)
+                                b_const=[0.0] * 6, tile=TILE)
     assert cfg.use_kernel
     print(f"tile tz={cfg.tz} ty={cfg.ty}", flush=True)
     key = jax.random.PRNGKey(1)

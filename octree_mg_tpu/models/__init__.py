@@ -8,7 +8,10 @@
 from .poisson import PoissonSolver
 from ..solve.diffusion import (diffusion_solve, diffusion_solve_vcoeff,
                                diffusion_solve_acoeff)
-from ..solve.free_space import FreeSpacePoisson3D
+from ..solve.free_space import (FreeSpacePoisson3D,
+                                FreeSpacePoisson3DDense,
+                                make_free_space)
 
 __all__ = ["PoissonSolver", "diffusion_solve", "diffusion_solve_vcoeff",
-           "diffusion_solve_acoeff", "FreeSpacePoisson3D"]
+           "diffusion_solve_acoeff", "FreeSpacePoisson3D",
+           "FreeSpacePoisson3DDense", "make_free_space"]

@@ -141,6 +141,11 @@ class DenseMGSolver:
         for b in nbs:
             self.bc_spec[b] = {"type": bc_type, "value": value, "fn": fn}
         self._direct = None
+        # BC type/layout feeds the kernel configs and the traced cycle
+        # programs — drop the caches so later solves re-specialize
+        for cached in ("_kcfgs", "_jit_vcycle", "_jit_fmg",
+                       "_jit_fmg_sharded", "_jit_vcycle_sharded"):
+            self.__dict__.pop(cached, None)
 
     def _bc_static(self, lvl: int):
         """Per-direction (c0,c1,c2) or None on periodic axes."""
@@ -502,12 +507,62 @@ class DenseMGSolver:
         phi = state["phi"][lvl].at[_ISL].add(vals)
         return self._set(state, "phi", lvl, phi)
 
-    def prolong_set(self, state, lvl_c, key_from="phi", key_to="phi"):
-        """Non-additive prolongation (used by free-space seeding)."""
-        corr = jnp.zeros(tuple(np.array(self.dims[lvl_c])[::-1] + 2),
-                         self.cfg.dtype)
-        src = state[key_from][lvl_c]
-        corr = corr.at[(slice(1, -1),) * 3].set(src[_ISL])
+    def _var_with_ring(self, state, lvl, key):
+        """One variable with a 1-ghost ring [Z+2, Y+2, X+2]: ring faces
+        from the bc_to_gc formula (ghost = c0*b + c1*x1 + c2*x2,
+        m_ghost_cells.f90:682-698) or periodic wrap."""
+        X, Y, Z = self.dims[lvl]
+        arr = state[key][lvl]
+        bp = state["bc"][lvl]
+        bc = self._bc_static(lvl)
+        out = jnp.zeros((Z + 2, Y + 2, X + 2), self.cfg.dtype)
+        out = out.at[(slice(1, -1),) * 3].set(arr[_ISL])
+        for nbd in range(6):
+            d = nbd // 2
+            lowside = nbd % 2 == 0
+            ax = 2 - d
+            n_d = (X, Y, Z)[d]
+
+            def pick(idx):
+                sl = list(_ISL)
+                pad = (dk.PZ, dk.PY, 0)[ax]
+                sl[ax] = idx + pad
+                return arr[tuple(sl)]
+
+            if self.periodic[d]:
+                ring = pick(n_d - 1 if lowside else 0)
+            else:
+                x1 = pick(0 if lowside else n_d - 1)
+                x2 = pick(1 if lowside else n_d - 2)
+                if d == 0:
+                    bpl = bp[nbd][dk.PZ:-dk.PZ, dk.PY:-dk.PY]
+                elif d == 1:
+                    bpl = bp[nbd][dk.PZ:-dk.PZ, :]
+                else:
+                    bpl = bp[nbd][dk.PY:-dk.PY, :]
+                c0, c1, c2 = bc[nbd]
+                ring = c0 * bpl + c1 * x1
+                if c2 != 0.0:
+                    ring = ring + c2 * x2
+            sl: List = [slice(1, -1)] * 3
+            sl[ax] = 0 if lowside else -1
+            out = out.at[tuple(sl)].set(ring)
+        return out
+
+    def prolong_set(self, state, lvl_c, key_from="phi", key_to="phi",
+                    with_ring: bool = False):
+        """Non-additive prolongation (used by free-space seeding).
+
+        with_ring=True synthesizes the coarse ghost ring from the BC
+        planes (mg_prolong's use of parent ghost cells); otherwise the
+        ring is zero."""
+        if with_ring:
+            corr = self._var_with_ring(state, lvl_c, key_from)
+        else:
+            corr = jnp.zeros(tuple(np.array(self.dims[lvl_c])[::-1] + 2),
+                             self.cfg.dtype)
+            src = state[key_from][lvl_c]
+            corr = corr.at[(slice(1, -1),) * 3].set(src[_ISL])
         vals = self._prolong_rect(corr)
         lvl = lvl_c + 1
         arr = state[key_to][lvl].at[_ISL].set(vals)

@@ -308,3 +308,184 @@ class FreeSpacePoisson3D:
                 vals[nb] = full
             state["bc"][lvl] = vals
         return state
+
+
+class FreeSpacePoisson3DDense:
+    """Free-space Poisson driver on the dense uniform fast path
+    (mg_poisson_free_3d, m_free_space.f90:36-214, over DenseMGSolver).
+
+    Same scheme as :class:`FreeSpacePoisson3D` — IGF FFT convolution on
+    the chosen coarse level, face-averaged boundary planes, bilinear
+    Dirichlet BC interpolation on every physical face, FFT-seeded
+    initial guess — but every level is one dense padded array, so the
+    scatter maps degenerate to plain slices and the BC values are
+    written straight into the dense solver's per-face plane arrays
+    (which the Mosaic kernels keep VMEM-resident)."""
+
+    def __init__(self, solver, max_fft_frac: float = 0.15):
+        from .dense import DenseMGSolver
+        if not isinstance(solver, DenseMGSolver):
+            raise TypeError("FreeSpacePoisson3DDense needs DenseMGSolver")
+        if any(solver.periodic):
+            raise ValueError("free-space solve needs non-periodic BCs")
+        self.solver = solver
+        self.max_fft_frac = max_fft_frac
+        self.cache: Optional[FreeSpaceCache] = None
+        # plane-valued Dirichlet on every face (interp values installed
+        # per solve); fn marks the faces non-constant
+        solver.set_bc(0, BCType.DIRICHLET,
+                      fn=lambda c: np.zeros(c.shape[:-1]))
+        self._choose_fft_lvl()
+        self._interp = {lvl: self._build_interp(lvl)
+                        for lvl in solver.levels}
+
+    def _choose_fft_lvl(self):
+        """Coarsest level holding <= max_fft_frac of the unknowns
+        (m_free_space.f90:84-92), clamped to the solver's cycled
+        levels."""
+        sv = self.solver
+        t = sv.tree
+        total = t.number_of_unknowns()
+        lvl = sv.levels[-1]
+        while lvl > sv.levels[0] + 1:
+            n_lvl = int(np.prod(sv.dims[lvl]))
+            if n_lvl <= self.max_fft_frac * total:
+                break
+            lvl -= 1
+        self.fft_lvl = lvl
+        self.nx = np.array(sv.dims[lvl])        # (X, Y, Z) interior
+        self.dr = sv.tree.dr[lvl].copy()
+
+    def _build_interp(self, lvl):
+        """Per-face bilinear interpolation onto the fft-level boundary
+        planes (interp_bc, m_free_space.f90:239-270): static indices and
+        weights from this level's face-center coordinates."""
+        sv = self.solver
+        t = sv.tree
+        X, Y, Z = sv.dims[lvl]
+        dr_l = t.dr[lvl]
+        r_min = t.r_min
+        hi = [r_min[d] + sv.dims[lvl][d] * dr_l[d] for d in range(3)]
+        centers = [r_min[d] + (np.arange(sv.dims[lvl][d]) + 0.5) * dr_l[d]
+                   for d in range(3)]
+        out = {}
+        for nb in range(6):
+            d = nb // 2
+            tdims = [dd for dd in range(3) if dd != d]
+            # face grid [slow, fast] matching the plane layouts of
+            # _eval_bc_planes: x faces [Z,Y], y faces [Z,X], z faces [Y,X]
+            fast = centers[tdims[0]]
+            slow = centers[tdims[1]]
+            x_fast, x_slow = np.meshgrid(fast, slow)     # [slow, fast]
+            inv_dr = 1.0 / self.dr[tdims]
+            r0 = r_min[tdims] - 0.5 * self.dr[tdims]
+            frac_f = (x_fast - r0[0]) * inv_dr[0]
+            frac_s = (x_slow - r0[1]) * inv_dr[1]
+            i_f = np.ceil(frac_f).astype(np.int64)
+            i_s = np.ceil(frac_s).astype(np.int64)
+            lf_f = i_f - frac_f
+            lf_s = i_s - frac_s
+            out[nb] = {
+                "pf": jnp.asarray(i_f - 1), "ps": jnp.asarray(i_s - 1),
+                "w00": jnp.asarray(lf_f * lf_s),
+                "w10": jnp.asarray((1 - lf_f) * lf_s),
+                "w01": jnp.asarray(lf_f * (1 - lf_s)),
+                "w11": jnp.asarray((1 - lf_f) * (1 - lf_s)),
+            }
+        return out
+
+    def _install_bc_values(self, state):
+        """Interpolate the cached boundary planes onto every level's
+        face-plane arrays (mg_phi_bc_store analogue)."""
+        from ..ops import dense_kernels as dk
+        sv = self.solver
+        planes = self.cache.planes
+        dt = sv.cfg.dtype
+        state = dict(state)
+        state["bc"] = dict(state["bc"])
+        for lvl in sv.levels:
+            X, Y, Z = sv.dims[lvl]
+            vals = list(state["bc"][lvl])
+            for nb in range(6):
+                ip = self._interp[lvl][nb]
+                p = planes[nb]
+                pf, ps = ip["pf"], ip["ps"]
+                v = (ip["w00"] * p[ps, pf] + ip["w10"] * p[ps, pf + 1]
+                     + ip["w01"] * p[ps + 1, pf]
+                     + ip["w11"] * p[ps + 1, pf + 1]).astype(dt)
+                d = nb // 2
+                if d == 0:       # [Z, Y] -> padded [ZP, YPW]
+                    pad = ((dk.PZ, dk.PZ), (dk.PY, dk.PY))
+                elif d == 1:     # [Z, X] -> [ZP, X]
+                    pad = ((dk.PZ, dk.PZ), (0, 0))
+                else:            # [Y, X] -> [YPW, X]
+                    pad = ((dk.PY, dk.PY), (0, 0))
+                full = jnp.zeros_like(vals[nb])
+                core = tuple(slice(p0, full.shape[i] - p1)
+                             for i, (p0, p1) in enumerate(pad))
+                vals[nb] = full.at[core].set(v)
+            state["bc"][lvl] = vals
+        return state
+
+    def solve(self, state, new_rhs: bool = True, fmg_cycle: bool = True,
+              need_res: bool = True):
+        sv = self.solver
+        lvl = self.fft_lvl
+        top = sv.levels[-1]
+        dt = sv.cfg.dtype
+
+        if self.cache is None and not new_rhs:
+            raise ValueError("first call requires new_rhs=True")
+        if self.cache is None:
+            self.cache = FreeSpaceCache(
+                fft_lvl=lvl,
+                kernel_hat=_green_kernel_hat(self.nx + 2, self.dr))
+
+        if new_rhs:
+            # restrict rhs to the fft level (m_free_space.f90:115-118)
+            for l in range(top, lvl, -1):
+                state = sv._restrict_into(state, l, "rhs")
+            X, Y, Z = sv.dims[lvl]
+            rhs_fac = -1.0 / (4.0 * np.pi)
+            rho = jnp.zeros((Z + 2, Y + 2, X + 2), dt)
+            rho = rho.at[(slice(1, -1),) * 3].set(
+                rhs_fac * sv.interior(state, lvl, "rhs"))
+            rho = _sharpen_rho(rho)
+            phi_g = _fft_convolve(rho, self.cache.kernel_hat)
+            self.cache.phi_global = phi_g
+
+            # boundary planes by face averaging (:167-174)
+            self.cache.planes = {
+                0: 0.5 * (phi_g[:, :, 0] + phi_g[:, :, 1]),
+                1: 0.5 * (phi_g[:, :, -2] + phi_g[:, :, -1]),
+                2: 0.5 * (phi_g[:, 0, :] + phi_g[:, 1, :]),
+                3: 0.5 * (phi_g[:, -2, :] + phi_g[:, -1, :]),
+                4: 0.5 * (phi_g[0, :, :] + phi_g[1, :, :]),
+                5: 0.5 * (phi_g[-2, :, :] + phi_g[-1, :, :]),
+            }
+            state = self._install_bc_values(state)
+
+            # seed initial guess from the FFT potential (:180-199)
+            state = sv.set_interior(state, lvl, "phi",
+                                    phi_g[(slice(1, -1),) * 3])
+            for l in range(lvl, sv.levels[0], -1):
+                state = sv._restrict_into(state, l, "phi")
+            for l in range(lvl, top):
+                state = sv.prolong_set(state, l, with_ring=True)
+
+        res = jnp.asarray(0.0, dt)
+        if lvl < top:
+            if fmg_cycle:
+                state, res = sv.fas_fmg(state, have_guess=True,
+                                        need_res=need_res)
+            else:
+                state, res = sv.fas_vcycle(state, need_res=need_res)
+        return state, res
+
+
+def make_free_space(solver, max_fft_frac: float = 0.15):
+    """Free-space driver matching the solver type (boxed or dense)."""
+    from .dense import DenseMGSolver
+    if isinstance(solver, DenseMGSolver):
+        return FreeSpacePoisson3DDense(solver, max_fft_frac)
+    return FreeSpacePoisson3D(solver, max_fft_frac)

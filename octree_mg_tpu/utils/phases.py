@@ -25,18 +25,29 @@ from .timers import Timers
 
 
 def _timed(timers, name, fn, *args, reps=2):
-    out = fn(*args)
-    jax.tree_util.tree_leaves(out)  # force build
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    float(jnp.sum(leaf)) if hasattr(leaf, "dtype") else None
+    """Time fn under jit with the sync scalar as an OUTPUT of the
+    program: on tunneled runtimes block_until_ready returns before
+    remote execution finishes, and an eager jnp.sum on a large result
+    costs tens of ms and poisons the measurement (see CLAUDE.md)."""
+
+    def run(*a):
+        out = fn(*a)
+        # the probe must touch EVERY output leaf or XLA dead-code-
+        # eliminates the untouched phases (one scalar element per leaf;
+        # jax clamps out-of-range indices)
+        acc = jnp.asarray(0.0, jnp.float32)
+        for l in jax.tree_util.tree_leaves(out):
+            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
+                                                      jnp.floating):
+                acc = acc + l[(3,) * l.ndim].astype(jnp.float32)
+        return acc
+
+    jr = jax.jit(run)
+    float(jr(*args))  # compile + warm
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        if hasattr(leaf, "dtype"):
-            float(jnp.sum(leaf))
+        float(jr(*args))
         timers.add(name, time.perf_counter() - t0)
-    return out
 
 
 def phase_report(solver, state, lam=0.0, show: bool = True) -> Timers:
@@ -45,6 +56,8 @@ def phase_report(solver, state, lam=0.0, show: bool = True) -> Timers:
     timers = Timers()
     lam = jnp.asarray(lam, solver.cfg.dtype)
     top = solver.levels[-1]
+    if hasattr(solver, "_ensure_direct"):
+        solver._ensure_direct()   # build eagerly, not inside a trace
 
     if hasattr(solver, "_smooth_boxes"):        # boxed MGSolver
         dmaps = solver._to_device()
@@ -80,6 +93,9 @@ def phase_report(solver, state, lam=0.0, show: bool = True) -> Timers:
 
     _timed(timers, "total FMG cycle",
            lambda s: solver.fas_fmg(s, have_guess=True)[0], state)
+    # constant probe overhead (state-wide one-element gathers + sync):
+    # subtract this floor from every row above when reading the table
+    _timed(timers, "probe floor (no-op)", lambda s: s, state)
     if show:
         timers.show()
     return timers

@@ -94,3 +94,39 @@ def test_standalone_fft_accuracy():
         errs[N] = float(np.max(np.abs(phi - sol)))
     assert errs[64] < 5e-6, errs
     assert errs[32] / errs[64] > 10.0, errs  # ~4th order
+
+
+def run_case_dense(size, box, n_its=5):
+    from octree_mg_tpu import DenseMGSolver
+    from octree_mg_tpu.solve.free_space import (FreeSpacePoisson3DDense,
+                                                make_free_space)
+    dsz = np.full(3, size)
+    tree = build_rectangle(3, dsz, box, 1.0 / dsz, np.zeros(3))
+    solver = DenseMGSolver(tree, MGConfig(operator="laplacian"))
+    fs = make_free_space(solver, max_fft_frac=0.15)
+    assert isinstance(fs, FreeSpacePoisson3DDense)
+    state = solver.allocate()
+    for lvl in solver.levels:
+        x = solver.cell_centers(lvl)
+        state = solver.set_interior(state, lvl, "rhs",
+                                    jnp.asarray(gaussian_rhs(x)))
+
+    top = solver.levels[-1]
+    sol = analytic_solution(solver.cell_centers(top))
+    errs = []
+    for n in range(n_its):
+        state, res = fs.solve(state, new_rhs=(n == 0), fmg_cycle=True)
+        phi = np.asarray(solver.interior(state, top, "phi"))
+        errs.append(float(np.max(np.abs(phi - sol))))
+    rhs_scale = float(np.max(np.abs(gaussian_rhs(solver.cell_centers(top)))))
+    return errs, float(res) / rhs_scale
+
+
+def test_free_space_dense_gaussian_64():
+    """Dense-path free-space driver reaches the same discretization
+    error level as the boxed driver (test_free_space.f90 parity on the
+    TPU fast path)."""
+    errs, rel_res = run_case_dense(64, 16)
+    assert errs[-1] < 4e-3, f"dense free-space max err {errs}"
+    assert errs[0] < 2 * errs[-1]
+    assert rel_res < 1e-6
