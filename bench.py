@@ -68,12 +68,20 @@ def run(size, box, n_its=5, dtype_name="float32"):
     # return before remote execution finishes)
     state, res0 = solver.fas_fmg(state, have_guess=True)
     r0 = float(res0)
+    # compile the timed variant too: the reference perf loop runs FMG
+    # WITHOUT the optional max_res (test_performance.f90:71 passes no
+    # max_res), so the timed region matches that workload
+    state, _ = solver.fas_fmg(state, have_guess=True, need_res=False)
+    float(state["phi"][top][8, 8, 8])
 
     t0 = time.perf_counter()
     for _ in range(n_its):
-        state, res = solver.fas_fmg(state, have_guess=True)
-    r1 = float(res)  # sync
+        state, _ = solver.fas_fmg(state, have_guess=True, need_res=False)
+    float(state["phi"][top][8, 8, 8])  # sync: depends on every cycle
     dt = time.perf_counter() - t0
+
+    state, res = solver.fas_fmg(state, have_guess=True)  # not timed
+    r1 = float(res)
 
     unknowns = float(sum(int(np.prod(solver.dims[l]))
                          for l in solver.levels))

@@ -25,11 +25,11 @@ def sync_pads(arr, dims, periodic):
     X, Y, Z = dims
     PZ, PY = dk.PZ, dk.PY
     if periodic[2]:
-        d = min(4, Z)
+        d = min(PZ, Z)
         arr = arr.at[PZ - d:PZ].set(arr[Z + PZ - d:Z + PZ])
         arr = arr.at[Z + PZ:Z + PZ + d].set(arr[PZ:PZ + d])
     if periodic[1]:
-        d = min(4, Y)
+        d = min(PZ, Y)
         arr = arr.at[:, PY - d:PY].set(arr[:, Y + PY - d:Y + PY])
         arr = arr.at[:, Y + PY:Y + PY + d].set(arr[:, PY:PY + d])
     return arr
@@ -86,6 +86,33 @@ def check(periodic):
     d = np.max(np.abs(a - b))
     print(f"{tag} apply  max|kernel-jnp| = {d:.3e}", flush=True)
     assert d == 0.0, "apply kernel mismatch"
+
+    # fused downsweep vs the separate kernel chain
+    assert cfg.fused_down_ok
+    S2 = SIZE // 2
+    corec = (slice(dk.PZ, dk.PZ + S2), slice(dk.PY, dk.PY + S2),
+             slice(None))
+
+    def fused(p, r):
+        ph, pc, rc = dk.downsweep_dense(cfg, sync(p), sync(r), lam,
+                                        planes, 0)
+        return ph[core], pc[corec], rc[corec]
+
+    def sep(p, r):
+        r = sync(r)
+        p = dk.pair_sweep_dense(cfg, sync(p), r, lam, planes, 0,
+                                n_pairs=2)
+        p = sync(p)
+        ires = dk.stencil_apply_dense(cfg, p, r, lam, planes, True)
+        return (p[core], dk.restrict_dense(cfg, p)[corec],
+                dk.restrict_dense(cfg, ires)[corec])
+
+    fa = jax.jit(fused)(phi, rhs)
+    fb = jax.jit(sep)(phi, rhs)
+    for name, x, y in zip(("phi", "phi_c", "ires_c"), fa, fb):
+        d = np.max(np.abs(np.asarray(x) - np.asarray(y)))
+        print(f"{tag} down/{name}  max|fused-sep| = {d:.3e}", flush=True)
+        assert d == 0.0, f"downsweep {name} mismatch"
 
 
 def main():

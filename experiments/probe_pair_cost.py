@@ -50,6 +50,16 @@ def main():
         def step(p, r):
             return dk.pair_sweep_dense(cfg, p, r, lam, planes, 0,
                                        n_pairs=2)
+    elif WHAT == "down":
+        def step(p, r):
+            return dk.downsweep_dense(cfg, p, r, lam, planes, 0)[0]
+    elif WHAT == "ucfused":
+        def step(p, r):
+            pc, rc = dk.residual_restrict_dense(cfg, p, r, lam, planes)
+            return p + pc[5, 8, 0] + rc[5, 8, 0]
+    elif WHAT == "apply":
+        def step(p, r):
+            return dk.stencil_apply_dense(cfg, p, r, lam, planes, True)
     else:
         def step(p, r):
             return dk.pair_sweep_dense(cfg, p, r, lam, planes, 0)

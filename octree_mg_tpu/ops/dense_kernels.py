@@ -50,11 +50,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: pad depths: z (untiled axis) carries the 4-deep halo of the fused
-#: double-pair kernel (4 half-sweeps need a 4-deep valid ring); y
-#: (sublane axis) is padded to the Mosaic window-alignment quantum,
-#: which also covers the 4-deep y halo
-PZ = 4
+#: pad depths: z (untiled axis) carries the 5-deep halo of the fused
+#: downsweep kernel (4 half-sweeps + residual ring need a 5-deep valid
+#: ring); y (sublane axis) is padded to the Mosaic window-alignment
+#: quantum, which also covers the deepest y halo
+PZ = 5
 PY = 8
 
 
@@ -115,6 +115,15 @@ class DenseStencilConfig:
         #: 128-aligned.
         self.use_kernel = (self.ty is not None and self.tz is not None
                            and self.Y % PY == 0 and self.X % 128 == 0)
+        #: fused downsweep (smooth+residual+restrict) eligibility: the
+        #: in-kernel restriction writes coarse tiles, so the coarse
+        #: lane extent must be a 128-multiple, x a power of two (the
+        #: compaction network), and the tile must halve onto the coarse
+        #: 8-aligned sublane grid
+        self.fused_down_ok = (self.use_kernel
+                              and _is_pow2(self.X) and self.X >= 256
+                              and self.tz % 2 == 0 and self.ty % 16 == 0
+                              and all(d % 2 == 0 for d in self.dims))
         # denominator accumulated exactly like the boxed smoother
         s = 0.0
         for d in range(3):
@@ -274,7 +283,22 @@ def _apply_jnp(cfg, phi, rhs, lam, bplanes, residual, zgates=None):
 # Mosaic kernels
 # ---------------------------------------------------------------------------
 
-def _make_kernel(cfg: DenseStencilConfig, body, hz: int):
+def _restrict_window(core, interp):
+    """Full-weighting restriction of a core tile [2*tzc, ty, X] ->
+    [tzc, ty/2, X/2]; identical add/compact order to restrict_dense
+    (z pairs, then y roll+compact, then x roll+compact, /8)."""
+    tz2, ty2, X = core.shape
+    h = core.reshape(tz2 // 2, 2, ty2, X)
+    t = h[:, 0] + h[:, 1]
+    u = t + _roll(t, -1, 1, interp)
+    t = _compact_pairs(u, 1, interp)
+    u = t + _roll(t, -1, 2, interp)
+    t = _compact_pairs(u, 2, interp)
+    return t / 8.0
+
+
+def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
+                 restrict_outs: bool = False, fine_out: bool = True):
     """Shared scaffolding: window DMA in, ``body`` on the window,
     core DMA out.  body(p_window, rhs_window, lam, masks, gcoords, bpw) ->
     window-shaped result.
@@ -285,7 +309,15 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int):
     (sublane alignment).  The rhs window is trimmed by one row per side
     (a k-sweep chain only ever consumes rhs within ring hz-1; the
     untouched edge rows of the scratch hold stale values that feed only
-    discarded ring computations)."""
+    discarded ring computations).
+
+    restrict_outs: body returns (phi_window, res_window); both are
+    full-weighting-restricted in-window and written to two extra padded
+    coarse outputs (the downsweep fusion — update_coarse's two
+    restriction passes ride along for ~1/4 extra write traffic).
+    fine_out=False drops the fine phi output entirely (the plain
+    update_coarse fusion: residual + both restrictions, no smoothing,
+    nothing full-size written back)."""
     tz, ty, X = cfg.tz, cfg.ty, cfg.X
     tzw, tyw = tz + 2 * hz, ty + 2 * PY
 
@@ -298,7 +330,16 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int):
         return z0, y0
 
     def kernel(phi_hbm, rhs_hbm, b0, b1, b2, b3, b4, b5, lam_ref,
-               zg_ref, out_hbm, hphi, hrhs, hout, sems_in, sems_out):
+               zg_ref, *rest):
+        if restrict_outs and fine_out:
+            (out_hbm, outpc_hbm, outrc_hbm, hphi, hrhs, hout, hpc, hrc,
+             sems_in, sems_out, sems_c) = rest
+        elif restrict_outs:
+            (outpc_hbm, outrc_hbm, hphi, hrhs, hpc, hrc,
+             sems_in, sems_c) = rest
+            hout = out_hbm = sems_out = None
+        else:
+            out_hbm, hphi, hrhs, hout, sems_in, sems_out = rest
         # double-buffered pipeline over a linearized grid: the window
         # DMAs of tile t+1 are in flight while tile t computes, and the
         # core write-back of tile t drains under tile t+1's compute
@@ -396,30 +437,57 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int):
                 branches.append(run(tuple(active)))
             res = lax.switch(idx, branches)
 
-        # reclaim this slot's out buffer (written two steps ago)
-        @pl.when(t >= 2)
-        def _():
-            out_dma(t - 2, slot).wait()
+        if restrict_outs:
+            res, resid_w = res
 
-        hout[slot] = res[hz:hz + tz, PY:PY + ty, :]
-        out_dma(t, slot).start()
+        if fine_out:
+            # reclaim this slot's out buffer (written two steps ago)
+            @pl.when(t >= 2)
+            def _():
+                out_dma(t - 2, slot).wait()
 
-        @pl.when(t == T - 1)
-        def _():
-            out_dma(t, slot).wait()
+            hout[slot] = res[hz:hz + tz, PY:PY + ty, :]
+            out_dma(t, slot).start()
 
-        @pl.when((t == T - 1) & (T >= 2))
-        def _():
-            out_dma(t - 1, nslot).wait()
+        if restrict_outs:
+            # coarse tiles are 1/8 the fine tile: serialized small DMAs
+            tzc, tyc = tz // 2, ty // 2
+            z0c = pl.multiple_of((t // nyt) * tzc, tzc)
+            y0c = pl.multiple_of((t % nyt) * tyc, tyc)
+            pcore = (hout[slot] if fine_out
+                     else res[hz:hz + tz, PY:PY + ty, :])
+            hpc[:] = _restrict_window(pcore, cfg.interpret)
+            cpd = pltpu.make_async_copy(
+                hpc, outpc_hbm.at[pl.ds(z0c + PZ, tzc),
+                                  pl.ds(y0c + PY, tyc), :], sems_c.at[0])
+            cpd.start()
+            hrc[:] = _restrict_window(
+                resid_w[hz:hz + tz, PY:PY + ty, :], cfg.interpret)
+            crd = pltpu.make_async_copy(
+                hrc, outrc_hbm.at[pl.ds(z0c + PZ, tzc),
+                                  pl.ds(y0c + PY, tyc), :], sems_c.at[1])
+            crd.start()
+            cpd.wait()
+            crd.wait()
+
+        if fine_out:
+            @pl.when(t == T - 1)
+            def _():
+                out_dma(t, slot).wait()
+
+            @pl.when((t == T - 1) & (T >= 2))
+            def _():
+                out_dma(t - 1, nslot).wait()
 
     return kernel, T
 
 
-def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz):
+def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
+                 restrict_outs: bool = False, fine_out: bool = True):
     tz, ty, X = cfg.tz, cfg.ty, cfg.X
     tzw, tyw = tz + 2 * hz, ty + 2 * PY
     dt = cfg.dtype
-    kernel, T = _make_kernel(cfg, body, hz)
+    kernel, T = _make_kernel(cfg, body, hz, restrict_outs, fine_out)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -442,18 +510,38 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz):
                             jnp.asarray(z_gates[1], jnp.int32)]
                            ).reshape(1, 2)
 
+    fshape = jax.ShapeDtypeStruct(cfg.pshape, dt)
+    cshape = jax.ShapeDtypeStruct(
+        padded_shape((cfg.X // 2, cfg.Y // 2, cfg.Z // 2)), dt)
+    scratch = [pltpu.VMEM((2, tzw, tyw, X), dt),
+               pltpu.VMEM((2, tzw, tyw, X), dt)]
+    if fine_out:
+        scratch += [pltpu.VMEM((2, tz, ty, X), dt)]
+    if restrict_outs:
+        scratch += [pltpu.VMEM((tz // 2, ty // 2, X // 2), dt),
+                    pltpu.VMEM((tz // 2, ty // 2, X // 2), dt)]
+    scratch += [pltpu.SemaphoreType.DMA((2, 2))]
+    if fine_out:
+        scratch += [pltpu.SemaphoreType.DMA((2,))]
+    if restrict_outs:
+        scratch += [pltpu.SemaphoreType.DMA((2,))]
+    if restrict_outs and fine_out:
+        out_shape = (fshape, cshape, cshape)
+        out_specs = (any_spec, any_spec, any_spec)
+    elif restrict_outs:
+        out_shape = (cshape, cshape)
+        out_specs = (any_spec, any_spec)
+    else:
+        out_shape = fshape
+        out_specs = any_spec
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(cfg.pshape, dt),
+        out_shape=out_shape,
         grid=(T,),
         in_specs=[any_spec, any_spec] + plane_specs + [smem_spec,
                                                        smem_spec],
-        out_specs=any_spec,
-        scratch_shapes=[pltpu.VMEM((2, tzw, tyw, X), dt),
-                        pltpu.VMEM((2, tzw, tyw, X), dt),
-                        pltpu.VMEM((2, tz, ty, X), dt),
-                        pltpu.SemaphoreType.DMA((2, 2)),
-                        pltpu.SemaphoreType.DMA((2,))],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         # the 4-sweep body's scoped temporaries exceed the 16 MiB
         # default accounting limit at 512-class windows; v5e cores carry
         # more physical VMEM than the default admits
@@ -506,6 +594,56 @@ def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
 
     return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates,
                         hz=2 * n_pairs)
+
+
+def downsweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
+                    red_parity: int, z_gates=None, n_pairs: int = 2):
+    """Fused V-cycle down-leg: n_pairs GSRB pairs, residual, and
+    full-weighting restriction of BOTH phi and the residual, in ONE
+    HBM pass (smooth_boxes + update_coarse's residual/restrict,
+    m_multigrid.f90:347-384,404-424).
+
+    Returns (phi_new, phi_coarse, ires_coarse) — the coarse arrays are
+    padded_shape(dims/2) with garbage pads.  Requires cfg.fused_down_ok
+    and hz = 2*n_pairs + 1 <= PZ.  Bitwise identical to
+    [pair_sweep_dense(n_pairs), stencil_apply_dense(residual),
+    restrict_dense x2]."""
+    assert cfg.fused_down_ok
+    hz = 2 * n_pairs + 1
+    assert hz <= PZ
+
+    def body(p, r, lam_s, masks, g, bpw):
+        upd = _parity_mask(g, red_parity)
+
+        def one(i, p):
+            p = _halfsweep(cfg, p, r, lam_s, masks, upd, True, bpw,
+                           cfg.interpret)
+            return _halfsweep(cfg, p, r, lam_s, masks, upd, False, bpw,
+                              cfg.interpret)
+
+        p = lax.fori_loop(0, n_pairs, one, p) if n_pairs > 1 else one(0, p)
+        resid = r - _apply_expr(cfg, p, lam_s, masks, bpw, cfg.interpret)
+        return p, resid
+
+    return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates,
+                        hz=hz, restrict_outs=True)
+
+
+def residual_restrict_dense(cfg: DenseStencilConfig, phi, rhs, lam,
+                            bplanes, z_gates=None):
+    """Fused plain update_coarse: residual + full-weighting restriction
+    of BOTH phi and the residual in one pass, with NO full-size output
+    (m_multigrid.f90:347-384 minus the smoothing).  Returns
+    (phi_coarse, ires_coarse).  Bitwise identical to
+    [stencil_apply_dense(residual=True), restrict_dense x2]."""
+    assert cfg.fused_down_ok
+
+    def body(p, r, lam_s, masks, g, bpw):
+        resid = r - _apply_expr(cfg, p, lam_s, masks, bpw, cfg.interpret)
+        return p, resid
+
+    return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates,
+                        hz=1, restrict_outs=True, fine_out=False)
 
 
 def stencil_apply_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,

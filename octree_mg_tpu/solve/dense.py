@@ -290,17 +290,17 @@ class DenseMGSolver:
         """Periodic wrap maintenance of the z/y pad planes (x wraps are
         exact in-kernel rolls).  No-op on non-periodic axes.
 
-        Depth 4 (clamped to the extent) feeds the fused double-pair
-        kernel's 4-deep halo; single pairs and the jnp fallback read
-        only the innermost 2."""
+        Depth PZ(=5, clamped to the extent) feeds the fused downsweep
+        kernel's 5-deep halo; double pairs read 4, single pairs and the
+        jnp fallback only the innermost 2."""
         X, Y, Z = self.dims[lvl]
         PZ, PY = dk.PZ, dk.PY
         if self.periodic[2]:
-            d = min(4, Z)
+            d = min(PZ, Z)
             arr = arr.at[PZ - d:PZ].set(arr[Z + PZ - d:Z + PZ])
             arr = arr.at[Z + PZ:Z + PZ + d].set(arr[PZ:PZ + d])
         if self.periodic[1]:
-            d = min(4, Y)
+            d = min(PZ, Y)
             arr = arr.at[:, PY - d:PY].set(arr[:, Y + PY - d:Y + PY])
             arr = arr.at[:, Y + PY:Y + PY + d].set(arr[:, PY:PY + d])
         return arr
@@ -367,16 +367,59 @@ class DenseMGSolver:
         return self._set(state, key, lvl - 1, coarse)
 
     def _update_coarse(self, state, lvl, lam):
-        """FAS tau correction (update_coarse, m_multigrid.f90:347-384)."""
-        state = self._residual(state, lvl, lam)
-        state = self._restrict_into(state, lvl, "phi")
-        state = self._restrict_into(state, lvl, "ires")
+        """FAS tau correction (update_coarse, m_multigrid.f90:347-384);
+        residual + both restrictions fuse into one no-full-output
+        kernel where eligible."""
+        if self._fused_transfer_ok(lvl):
+            cfg = self._kcfgs[lvl]
+            phi = self._sync_pads(state["phi"][lvl], lvl)
+            rhs = self._sync_pads(state["rhs"][lvl], lvl)
+            phi_c, ires_c = dk.residual_restrict_dense(
+                cfg, phi, rhs, lam, state["bc"][lvl])
+            state = self._set(state, "phi", lvl - 1, phi_c)
+            state = self._set(state, "ires", lvl - 1, ires_c)
+        else:
+            state = self._residual(state, lvl, lam)
+            state = self._restrict_into(state, lvl, "phi")
+            state = self._restrict_into(state, lvl, "ires")
+        return self._finish_coarse_rhs(state, lvl, lam)
+
+    def _finish_coarse_rhs(self, state, lvl, lam):
+        """rhs_c = A(restrict phi) + restrict(res); iold_c = phi_c."""
         a_phi = self._apply_op(state, lvl - 1, lam)
         rhs_c = state["rhs"][lvl - 1].at[_ISL].set(
             a_phi[_ISL] + state["ires"][lvl - 1][_ISL])
         state = self._set(state, "rhs", lvl - 1, rhs_c)
         state = self._set(state, "iold", lvl - 1, state["phi"][lvl - 1])
         return state
+
+    def _fused_transfer_ok(self, lvl):
+        """Whether the fused residual+restrict kernels cover lvl ->
+        lvl-1 (single-chip dense path only; the sharded subclass opts
+        out)."""
+        return lvl - 1 in self.levels and self._kcfgs[lvl].fused_down_ok
+
+    def _fused_down_ok(self, lvl):
+        """Whether the fused downsweep kernel covers [smooth(2) +
+        update_coarse] at lvl."""
+        return self.cfg.n_cycle_down == 2 and self._fused_transfer_ok(lvl)
+
+    def _down_leg(self, state, lvl, lam):
+        """smooth(n_cycle_down) + update_coarse, fused into one kernel
+        pass where eligible (bitwise identical to the separate path,
+        tests/test_dense.py)."""
+        if not self._fused_down_ok(lvl):
+            state = self._smooth(state, lvl, self.cfg.n_cycle_down, lam)
+            return self._update_coarse(state, lvl, lam)
+        cfg = self._kcfgs[lvl]
+        phi = self._sync_pads(state["phi"][lvl], lvl)
+        rhs = self._sync_pads(state["rhs"][lvl], lvl)
+        phi, phi_c, ires_c = dk.downsweep_dense(
+            cfg, phi, rhs, lam, state["bc"][lvl], red_parity=0)
+        state = self._set(state, "phi", lvl, phi)
+        state = self._set(state, "phi", lvl - 1, phi_c)
+        state = self._set(state, "ires", lvl - 1, ires_c)
+        return self._finish_coarse_rhs(state, lvl, lam)
 
     # -- prolongation ---------------------------------------------------
     def _corr_with_ring(self, state, lvl):
@@ -693,8 +736,7 @@ class DenseMGSolver:
             state = self._subtract_mean(state, "rhs")
 
         for lvl in range(top, min_lvl, -1):
-            state = self._smooth(state, lvl, cfg.n_cycle_down, lam)
-            state = self._update_coarse(state, lvl, lam)
+            state = self._down_leg(state, lvl, lam)
 
         state = self._coarse_solve(state, lam)
 

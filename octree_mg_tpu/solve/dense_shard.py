@@ -168,20 +168,22 @@ class ShardedDenseMGSolver(DenseMGSolver):
         else:
             fwd = [(i, i + 1) for i in range(K - 1)]
             bwd = [(i, i - 1) for i in range(1, K)]
-        # PZ(=4)-deep exchange: one ppermute pair per direction feeds
-        # the double-pair kernel's whole halo (two GSRB iterations per
-        # exchange — half the per-pair ICI latency of a 2-deep halo)
-        top = arr[Zl + PZ - PZ:Zl + PZ]     # my top PZ interior planes
-        bot = arr[PZ:2 * PZ]                # my bottom PZ interior planes
+        # deep halo exchange: one ppermute pair per direction feeds the
+        # double-pair kernel's whole 4-deep halo (two GSRB iterations
+        # per exchange — half the per-pair ICI latency of a 2-deep
+        # halo); depth clamps to the slab thickness
+        e = min(PZ, Zl)
+        top = arr[Zl + PZ - e:Zl + PZ]      # my top e interior planes
+        bot = arr[PZ:PZ + e]                # my bottom e interior planes
         from_prev = lax.ppermute(top, AXIS, fwd)
         from_next = lax.ppermute(bot, AXIS, bwd)
-        arr = arr.at[0:PZ].set(from_prev)
-        arr = arr.at[Zl + PZ:Zl + 2 * PZ].set(from_next)
+        arr = arr.at[PZ - e:PZ].set(from_prev)
+        arr = arr.at[Zl + PZ:Zl + PZ + e].set(from_next)
         # y-periodic wrap stays local
         X, Y, _ = self.dims[lvl]
         PY = dk.PY
         if self.periodic[1]:
-            d = min(4, Y)
+            d = min(PZ, Y)
             arr = arr.at[:, PY - d:PY].set(arr[:, Y + PY - d:Y + PY])
             arr = arr.at[:, Y + PY:Y + PY + d].set(arr[:, PY:PY + d])
         return arr
@@ -201,6 +203,15 @@ class ShardedDenseMGSolver(DenseMGSolver):
                                       n_pairs=k)
             rem -= k
         return self._set(state, "phi", lvl, phi)
+
+    def _fused_transfer_ok(self, lvl):
+        # the fused downsweep/update_coarse kernels need an hz<=5 halo
+        # and in-kernel restriction across slab boundaries — sharded
+        # levels run the separate kernels; replicated (agglomerated)
+        # levels use the base path
+        if self.sharded[lvl] or self.sharded.get(lvl - 1):
+            return False
+        return super()._fused_transfer_ok(lvl)
 
     def _residual(self, state, lvl, lam):
         cfg = self._kcfgs[lvl]

@@ -347,3 +347,48 @@ def test_stencil_kernels_interpret(periodic):
                                 True)[core]
     rb = dk._apply_jnp(cfg, phi_s, rhs_s, lam, planes, True)[core]
     close(ra, rb)
+
+
+def test_fused_downsweep_interpret():
+    """Fused downsweep kernel (smooth+residual+restrict in one pass) is
+    equivalent to the separate path (bitwise on-chip; ~1 ulp under CPU
+    interpret, see test_stencil_kernels_interpret)."""
+    dsz = np.array([256, 16, 16])
+    tree = build_rectangle(3, dsz, 8, np.full(3, 1.0 / 256), np.zeros(3))
+    sd = DenseMGSolver(tree, MGConfig(operator="laplacian"))
+    sd.set_bc(0, BCType.DIRICHLET, fn=solution)
+    st = sd.allocate()
+    top = sd.levels[-1]
+    assert sd._fused_down_ok(top)
+    rng = np.random.default_rng(5)
+    for lvl in (top, top - 1):
+        X, Y, Z = sd.dims[lvl]
+        for k in ("phi", "rhs"):
+            st = sd.set_interior(st, lvl, k,
+                                 jnp.asarray(rng.normal(size=(Z, Y, X))))
+    lam = jnp.asarray(0.0, jnp.float64)
+
+    def copy(s):
+        return {k: dict(v) if isinstance(v, dict) else v
+                for k, v in s.items()}
+
+    st_f = sd._down_leg(copy(st), top, lam)
+    st_uf = sd._update_coarse(copy(st), top, lam)
+    ok = sd._fused_transfer_ok
+    sd._fused_transfer_ok = lambda lvl: False
+    st_s = sd._down_leg(copy(st), top, lam)
+    st_us = sd._update_coarse(copy(st), top, lam)
+    sd._fused_transfer_ok = ok
+
+    for lvl, keys in ((top, ("phi",)),
+                      (top - 1, ("phi", "rhs", "iold", "ires"))):
+        for k in keys:
+            a = np.asarray(sd.interior(st_f, lvl, k))
+            b = np.asarray(sd.interior(st_s, lvl, k))
+            np.testing.assert_allclose(a, b, rtol=0, atol=5e-13,
+                                       err_msg=f"down {k}@{lvl}")
+    for k in ("phi", "rhs", "iold", "ires"):
+        a = np.asarray(sd.interior(st_uf, top - 1, k))
+        b = np.asarray(sd.interior(st_us, top - 1, k))
+        np.testing.assert_allclose(a, b, rtol=0, atol=5e-13,
+                                   err_msg=f"uc {k}")
