@@ -10,6 +10,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import jax
 
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # the preloaded axon backend ignores the env var; force it here so
+    # `JAX_PLATFORMS=cpu python examples/...` works as documented
+    jax.config.update("jax_platforms", "cpu")
 if jax.default_backend() == "cpu":
     jax.config.update("jax_enable_x64", True)  # float64 parity workflow
 
