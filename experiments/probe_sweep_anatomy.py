@@ -14,6 +14,11 @@ these attribute WHERE the ~1ms/sweep of exposed VPU time goes:
   noz4   = 4x sweeps with x/y neighbor rolls only (4 rolls)
   nox4   = 4x sweeps with y/z neighbor rolls only
   noy4   = 4x sweeps with x/z neighbor rolls only
+  comp4  = checkerboard-compacted sweeps: compact phi/rhs along x into
+           red/black half-width arrays (x-roll pull networks), run 4
+           half-sweeps each computing ONLY the updated color (y/z rolls
+           at half width), riffle back.  Timing prototype: stencil
+           arithmetic without BC synthesis.
 """
 import os
 import sys
@@ -34,6 +39,8 @@ from octree_mg_tpu.ops import dense_kernels as dk
 
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 WHAT = sys.argv[2]
+TILE = ((int(sys.argv[3]), int(sys.argv[4])) if len(sys.argv) > 4
+        else (16, 48))
 
 
 def main():
@@ -41,7 +48,7 @@ def main():
     bc = [(2.0, -1.0, 0.0)] * 6
     per = (True, True, True) if WHAT == "nobc" else (False, False, False)
     cfg = dk.DenseStencilConfig(dims, (1.0, 1.0, 1.0), bc, per,
-                                jnp.float32, b_const=[0.0] * 6)
+                                jnp.float32, b_const=[0.0] * 6, tile=TILE)
     print(f"tile tz={cfg.tz} ty={cfg.ty}", flush=True)
     key = jax.random.PRNGKey(1)
     k1, k2 = jax.random.split(key)
@@ -92,6 +99,54 @@ def main():
                     + dk._roll(p, -1, axis, False)
         return acc
 
+    def sweep_comp(n_sw):
+        """Checkerboard-compacted chain: compact once, n_sw half-sweeps
+        on half-width arrays, riffle back.  Correct stencil arithmetic
+        for fully-interior cells; no BC synthesis (timing probe)."""
+        inv = 1.0 / cfg.den0
+
+        def body(p, r, l, m, g, b):
+            gx, gy, gz = g
+            # row parity: True where red cells sit at odd x (r==1)
+            rowsel = ((gy + gz) % 2) == 1  # (ZW, YW, 1) broadcastable
+
+            def split(a):
+                even = dk._compact_pairs(a, 2, False)
+                odd = dk._compact_pairs(dk._roll(a, -1, 2, False), 2,
+                                        False)
+                red = jnp.where(rowsel, odd, even)
+                black = jnp.where(rowsel, even, odd)
+                return red, black
+
+            red, black = split(p)
+            r_red, r_black = split(r)
+
+            def half(dst, src, rhs_c, sel_odd):
+                # x-neighbor sum: for r==0 rows lo+hi = roll(+1)+src,
+                # for r==1 rows src+roll(-1)
+                sx = jnp.where(sel_odd,
+                               src + dk._roll(src, -1, 2, False),
+                               dk._roll(src, +1, 2, False) + src)
+                acc = -rhs_c + idr2[0] * sx
+                acc = acc + idr2[1] * (dk._roll(src, +1, 1, False)
+                                       + dk._roll(src, -1, 1, False))
+                acc = acc + idr2[2] * (dk._roll(src, +1, 0, False)
+                                       + dk._roll(src, -1, 0, False))
+                return acc * inv
+
+            def one(i, carry):
+                red, black = carry
+                red = half(red, black, r_red, rowsel)
+                black = half(black, red, r_black, ~rowsel)
+                return red, black
+
+            red, black = lax.fori_loop(0, n_sw // 2, one, (red, black))
+            even = jnp.where(rowsel, black, red)
+            odd = jnp.where(rowsel, red, black)
+            return dk._interleave2(even, odd, 2, False)
+
+        return body
+
     n_sw = 4 if WHAT.endswith("4") else 2
     base = WHAT[:-1] if WHAT.endswith("4") else WHAT
     hz = n_sw
@@ -104,7 +159,12 @@ def main():
         axes_of = {"noz": (2, 1), "nox": (1, 0), "noy": (2, 0)}
         cat_of = {"slz": (0,), "sly": (1,), "slzy": (0, 1)}
 
+        if base == "comp":
+            comp_body = sweep_comp(n_sw)
+
         def body(p, r, l, m, g, b):
+            if base == "comp":
+                return comp_body(p, r, l, m, g, b)
             if base == "none":
                 return p + r
 

@@ -65,7 +65,9 @@ def interp_rb_strip(tmp: jnp.ndarray, ndim: int) -> jnp.ndarray:
 
 def fill_ghost_lvl(cc_lvl: jnp.ndarray, cc_coarse: Optional[jnp.ndarray],
                    dmaps: Dict, static: Dict, bc_static: List[Dict],
-                   bc_vals: Optional[List[jnp.ndarray]], iv: int) -> jnp.ndarray:
+                   bc_vals: Optional[List[jnp.ndarray]], iv: int,
+                   ext_gathered: Optional[List[jnp.ndarray]] = None
+                   ) -> jnp.ndarray:
     """Fill all ghost faces of variable ``iv`` at one level.
 
     Args:
@@ -79,6 +81,12 @@ def fill_ghost_lvl(cc_lvl: jnp.ndarray, cc_coarse: Optional[jnp.ndarray],
         (zeros away from physical faces; for IPHI the solver passes
         state-held arrays so e.g. the free-space driver can update them);
         None -> scalar value via bc_static["value"].
+      ext_gathered: per direction a precomputed [n, face] neighbor-face
+        array (row i = face of box i's neighbor) replacing the global
+        row gather — supplied by the explicit ppermute exchange
+        (parallel.halo.gather_faces_ppermute); rows without a neighbor
+        are garbage and blended away by ``has_nb`` exactly like the
+        gather path, so results are bitwise identical.
 
     Scatter-free on uniform grids: physical faces are blended with a
     dense ``where`` over precomputed masks (XLA scatters would dominate
@@ -97,9 +105,12 @@ def fill_ghost_lvl(cc_lvl: jnp.ndarray, cc_coarse: Optional[jnp.ndarray],
         src_sl = face_slicer(D, topo.neighb_rev(nb), nc, 1)
 
         # same-level neighbors (incl. periodic): gather rows of the source
-        # interior face plane
-        faces = v[src_sl]
-        gathered = faces[dm["nb_loc"]]
+        # interior face plane (or consume the explicit exchange's output)
+        if ext_gathered is not None:
+            gathered = ext_gathered[nb]
+        else:
+            faces = v[src_sl]
+            gathered = faces[dm["nb_loc"]]
         mshape = (-1,) + (1,) * (D - 1)
         newface = jnp.where(dm["has_nb"].reshape(mshape), gathered,
                             v[gh_sl])

@@ -21,15 +21,21 @@ are contiguous in level order, and fine chunk boundaries align with
 coarse chunk boundaries when both levels shard evenly), so the halo is
 the only communication in the smoother path — as in the reference.
 
-This module provides the building block + parity test hook; wiring it
-through the cycle drivers (with interior-compute/halo overlap, the
-opportunity SURVEY §2.4.3 notes the reference leaves on the table) is the
-next scaling step.
+The all_gather fill above is the simple building block; the scalable
+exchange is the **ppermute neighbor exchange** below: cross-shard faces
+are grouped host-side by shard offset delta (the analogue of the
+reference's per-rank-pair buffers, ``src/m_communication.f90:37-66``),
+each group ships as ONE ``lax.ppermute`` of a sender-packed buffer whose
+slot order is the receiver's consumption order — the reference's
+deterministic sorted-buffer trick (``m_ghost_cells.f90:348-378``) baked
+into static index maps.  Traffic is neighbor faces only, independent of
+the mesh size.  Wired into the boxed cycle drivers via
+``MGConfig(halo="ppermute")`` + ``MGSolver.attach_mesh``.
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -90,3 +96,134 @@ def stack_dir_maps(dmaps_lvl: Dict) -> Dict:
     nb_loc = jnp.stack([d["nb_loc"] for d in dmaps_lvl["dirs"]])
     has_nb = jnp.stack([d["has_nb"] for d in dmaps_lvl["dirs"]])
     return {"nb_loc": nb_loc, "has_nb": has_nb}
+
+
+# ---------------------------------------------------------------------------
+# ppermute neighbor exchange (the scalable explicit path)
+# ---------------------------------------------------------------------------
+
+def build_exchange_plan(level_maps, k: int) -> Optional[Dict]:
+    """Split one level's same-level neighbor gather into a local gather
+    plus per-shard-offset ppermute exchanges (host-side, numpy).
+
+    The reference sizes per-rank-pair buffers with dry runs
+    (``m_ghost_cells.f90:17-62``) and fills them in an order sorted by a
+    receiver-side key so the receiver can consume deterministically
+    (``m_ghost_cells.f90:348-378``).  Here both become static maps: for
+    every shard offset ``delta`` present, the sender packs the faces its
+    receiver (shard ``s - delta``) will consume, in the receiver's row
+    order, and the receiver reads buffer slots by a precomputed
+    slot map — gathers only, no scatters, bitwise-deterministic.
+
+    Returns None when the level cannot shard evenly over ``k`` devices
+    (those levels are replicated — coarse-level agglomeration).
+    """
+    n = level_maps.n_boxes
+    if k < 1 or n < k or n % k != 0:
+        return None
+    m = n // k
+    rows = np.arange(n)
+    shard_of = rows // m
+    dirs = []
+    for dm in level_maps.dirs:
+        nb_loc = dm.nb_loc.astype(np.int64)
+        has_nb = dm.has_nb
+        src_shard = nb_loc // m
+        delta = (src_shard - shard_of) % k
+        is_local = has_nb & (delta == 0)
+        loc_src = np.where(is_local, nb_loc % m, 0).astype(np.int32)
+        exchanges = []
+        for dlt in sorted(set(delta[has_nb & (delta != 0)].tolist())):
+            sel = has_nb & (delta == dlt)
+            L = max(int(np.sum(sel & (shard_of == r))) for r in range(k))
+            send_idx = np.zeros((k, L), np.int32)
+            send_valid = np.zeros((k, L), bool)
+            recv_slot = np.zeros(n, np.int32)
+            recv_mask = np.zeros(n, bool)
+            for r in range(k):
+                # receiver r's rows in consumption (ascending-row) order
+                rr = np.nonzero(sel & (shard_of == r))[0]
+                s = (r + dlt) % k  # the shard that owns their sources
+                send_idx[s, :len(rr)] = (nb_loc[rr] % m).astype(np.int32)
+                send_valid[s, :len(rr)] = True
+                recv_slot[rr] = np.arange(len(rr), dtype=np.int32)
+                recv_mask[rr] = True
+            exchanges.append({
+                "delta": int(dlt),
+                "send_idx": send_idx, "send_valid": send_valid,
+                "recv_slot": recv_slot, "recv_mask": recv_mask})
+        dirs.append({"loc_src": loc_src, "is_local": is_local,
+                     "exchanges": exchanges})
+    return {"dirs": dirs, "k": k}
+
+
+def plan_arrays(plan: Dict) -> List[Dict]:
+    """Device-array part of a plan — a pytree of jnp arrays only, so it
+    can be passed through jit as part of the solver's dmaps argument
+    (never closed over); the static part (deltas, k) stays host-side on
+    the solver."""
+    dirs = []
+    for d in plan["dirs"]:
+        dirs.append({
+            "loc_src": jnp.asarray(d["loc_src"]),
+            "exch": [{
+                "send_idx": jnp.asarray(e["send_idx"]),
+                "recv_slot": jnp.asarray(e["recv_slot"]),
+                "recv_mask": jnp.asarray(e["recv_mask"]),
+            } for e in d["exchanges"]],
+        })
+    return dirs
+
+
+def gather_faces_ppermute(v: jnp.ndarray, arrs: List[Dict], plan: Dict,
+                          mesh: Mesh, ndim: int, nc: int
+                          ) -> List[jnp.ndarray]:
+    """Same-level neighbor face gather of one variable plane
+    ``v [n, (nc+2)^D]`` with all cross-shard movement as ppermute.
+
+    ``arrs`` = plan_arrays(plan) routed through the jit boundary;
+    ``plan`` supplies only the static deltas.  Returns per direction a
+    ``[n] + [nc]*(D-1)`` array whose row i holds the face of box i's
+    neighbor (rows without a neighbor are garbage — the caller blends
+    with ``has_nb`` exactly as the gather path does, so results are
+    bitwise identical).
+    """
+    nnb = topo.num_neighbors(ndim)
+    k = mesh.devices.size
+    assert plan["k"] == k
+    deltas = [[e["delta"] for e in d["exchanges"]] for d in plan["dirs"]]
+
+    def body(v_sh, *flat):
+        it = iter(flat)
+        outs = []
+        for nb in range(nnb):
+            faces = v_sh[face_slicer(ndim, topo.neighb_rev(nb), nc, 1)]
+            loc_src = next(it)          # [m] local source rows
+            gathered = faces[loc_src]
+            mshape = (-1,) + (1,) * (ndim - 1)
+            for delta in deltas[nb]:
+                send_idx = next(it)[0]  # [k, L] sharded -> my [L]
+                recv_slot = next(it)    # [m]
+                recv_mask = next(it)    # [m]
+                buf = faces[send_idx]  # receiver-ordered send buffer
+                perm = [(s, (s - delta) % k) for s in range(k)]
+                buf = jax.lax.ppermute(buf, BOX_AXIS, perm)
+                gathered = jnp.where(recv_mask.reshape(mshape),
+                                     buf[recv_slot], gathered)
+            outs.append(gathered)
+        return tuple(outs)
+
+    flat_args = []
+    in_specs = [P(BOX_AXIS)]
+    for nb in range(nnb):
+        d = arrs[nb]
+        flat_args.append(d["loc_src"])
+        in_specs.append(P(BOX_AXIS))
+        for e in d["exch"]:
+            flat_args.extend([e["send_idx"], e["recv_slot"],
+                              e["recv_mask"]])
+            in_specs.extend([P(BOX_AXIS), P(BOX_AXIS), P(BOX_AXIS)])
+
+    fn = jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=(P(BOX_AXIS),) * nnb)
+    return list(fn(v, *flat_args))

@@ -107,6 +107,14 @@ class MGConfig:
     #: tolerance loop (m_multigrid.f90:196-209).  The boxed path always
     #: smooths.
     coarse_solver: str = "direct"
+    #: cross-shard halo movement: "gspmd" lets XLA partition the global
+    #: ghost gathers; "ppermute" ships neighbor faces explicitly as
+    #: per-shard-offset lax.ppermute exchanges inside shard_map (the
+    #: TPU-native rendering of the reference's per-rank-pair buffers,
+    #: m_communication.f90:37-66) — requires MGSolver.attach_mesh and
+    #: applies to levels that shard evenly; results are bitwise equal
+    #: either way (tests/test_explicit_halo.py)
+    halo: str = "gspmd"
 
 
 class MGSolver:
@@ -154,6 +162,24 @@ class MGSolver:
         #: m_data_structures.f90:335-336): signature
         #: (coarse_plane, dmaps_f, static_f) -> fine interior values
         self.box_prolong = transfer.prolong_from_coarse
+        #: device mesh + per-level exchange plans for the explicit
+        #: ppermute halo (MGConfig.halo == "ppermute")
+        self.mesh = None
+        self._halo_plans = None
+
+    def attach_mesh(self, mesh):
+        """Bind a device mesh for the explicit ppermute halo exchange
+        (MGConfig.halo == "ppermute").  Builds per-level exchange plans
+        host-side (the analogue of the reference's buffer-size dry runs,
+        m_allocate_storage.f90:82-96 — here they become static index
+        maps).  Levels that cannot shard evenly get no plan and keep the
+        gather path (they are replicated anyway)."""
+        from ..parallel import halo as halo_mod
+        self.mesh = mesh
+        k = mesh.devices.size
+        self._halo_plans = {lvl: halo_mod.build_exchange_plan(
+            self.maps[lvl], k) for lvl in self.levels}
+        self._dmaps = None  # halo plan arrays ride in dmaps
 
     # ------------------------------------------------------------------
     # setup
@@ -260,6 +286,11 @@ class MGSolver:
             }
             if self.cfg.geometry == "cylindrical":
                 entry.update(self._cyl_weights(lvl))
+            if (self.cfg.halo == "ppermute"
+                    and self._halo_plans is not None
+                    and self._halo_plans.get(lvl) is not None):
+                from ..parallel import halo as halo_mod
+                entry["halo"] = halo_mod.plan_arrays(self._halo_plans[lvl])
             dm[lvl] = entry
         self._dmaps = dm
         return dm
@@ -370,9 +401,15 @@ class MGSolver:
         cc = state["cc"]
         coarse = cc.get(lvl - 1)
         bc_vals = state["bc"][lvl] if iv == IPHI else None
+        ext = None
+        if "halo" in dmaps[lvl]:
+            from ..parallel import halo as halo_mod
+            ext = halo_mod.gather_faces_ppermute(
+                cc[lvl][iv], dmaps[lvl]["halo"], self._halo_plans[lvl],
+                self.mesh, self.ndim, self.static[lvl]["nc"])
         new = ghost_ops.fill_ghost_lvl(
             cc[lvl], coarse, dmaps[lvl], self.static[lvl],
-            self._bc_static(iv, lvl), bc_vals, iv)
+            self._bc_static(iv, lvl), bc_vals, iv, ext_gathered=ext)
         state = dict(state)
         state["cc"] = dict(cc)
         state["cc"][lvl] = new
