@@ -298,7 +298,8 @@ def _restrict_window(core, interp):
 
 
 def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
-                 restrict_outs: bool = False, fine_out: bool = True):
+                 restrict_outs: bool = False, fine_out: bool = True,
+                 zstream: bool = True):
     """Shared scaffolding: window DMA in, ``body`` on the window,
     core DMA out.  body(p_window, rhs_window, lam, masks, gcoords, bpw) ->
     window-shaped result.
@@ -311,6 +312,12 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
     untouched edge rows of the scratch hold stale values that feed only
     discarded ring computations).
 
+    zstream: walk tiles z-fastest and carry the 2*hz-row window overlap
+    between consecutive z-tiles of a y-column through VMEM (a tiny
+    in-VMEM head copy) instead of re-reading it from HBM — the z read
+    amplification drops from (tz+2*hz)/tz to ~1.  Bitwise identical
+    (the carried rows are the same bytes a re-read would fetch).
+
     restrict_outs: body returns (phi_window, res_window); both are
     full-weighting-restricted in-window and written to two extra padded
     coarse outputs (the downsweep fusion — update_coarse's two
@@ -322,12 +329,19 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
     tzw, tyw = tz + 2 * hz, ty + 2 * PY
 
     nyt = cfg.Y // ty
-    T = (cfg.Z // tz) * nyt
+    nzt = cfg.Z // tz
+    T = nzt * nyt
 
-    def tile_org(t):
-        z0 = pl.multiple_of((t // nyt) * tz, tz)
-        y0 = pl.multiple_of((t % nyt) * ty, ty)
-        return z0, y0
+    if zstream:
+        def tile_org(t):
+            z0 = pl.multiple_of((t % nzt) * tz, tz)
+            y0 = pl.multiple_of((t // nzt) * ty, ty)
+            return z0, y0
+    else:
+        def tile_org(t):
+            z0 = pl.multiple_of((t // nyt) * tz, tz)
+            y0 = pl.multiple_of((t % nyt) * ty, ty)
+            return z0, y0
 
     def kernel(phi_hbm, rhs_hbm, b0, b1, b2, b3, b4, b5, lam_ref,
                zg_ref, *rest):
@@ -347,7 +361,7 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
         slot = lax.rem(t, jnp.int32(2))
         nslot = lax.rem(t + 1, jnp.int32(2))
 
-        def in_dmas(tt, s):
+        def full_in_dmas(tt, s):
             zz, yy = tile_org(tt)
             zo = zz + (PZ - hz)
             return [
@@ -359,6 +373,55 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
                     hrhs.at[s, pl.ds(1, tzw - 2)], sems_in.at[s, 1]),
             ]
 
+        def part_in_dmas(tt, s):
+            # z-streamed continuation tile: only the tz new rows come
+            # from HBM; the 2*hz-row head is copied from the previous
+            # window's tail (disjoint scratch rows, so both may be in
+            # flight together)
+            zz, yy = tile_org(tt)
+            zo = zz + (PZ - hz)
+            return [
+                pltpu.make_async_copy(
+                    phi_hbm.at[pl.ds(zo + 2 * hz, tz), pl.ds(yy, tyw), :],
+                    hphi.at[s, pl.ds(2 * hz, tz)], sems_in.at[s, 0]),
+                pltpu.make_async_copy(
+                    rhs_hbm.at[pl.ds(zo + tzw - 1 - tz, tz),
+                               pl.ds(yy, tyw), :],
+                    hrhs.at[s, pl.ds(tzw - 1 - tz, tz)], sems_in.at[s, 1]),
+            ]
+
+        def start_in(tt, s):
+            if not zstream:
+                for d in full_in_dmas(tt, s):
+                    d.start()
+                return
+
+            @pl.when(lax.rem(tt, jnp.int32(nzt)) == 0)
+            def _():
+                for d in full_in_dmas(tt, s):
+                    d.start()
+
+            @pl.when(lax.rem(tt, jnp.int32(nzt)) != 0)
+            def _():
+                for d in part_in_dmas(tt, s):
+                    d.start()
+
+        def wait_in(tt, s):
+            if not zstream:
+                for d in full_in_dmas(tt, s):
+                    d.wait()
+                return
+
+            @pl.when(lax.rem(tt, jnp.int32(nzt)) == 0)
+            def _():
+                for d in full_in_dmas(tt, s):
+                    d.wait()
+
+            @pl.when(lax.rem(tt, jnp.int32(nzt)) != 0)
+            def _():
+                for d in part_in_dmas(tt, s):
+                    d.wait()
+
         def out_dma(tt, s):
             zz, yy = tile_org(tt)
             return pltpu.make_async_copy(
@@ -368,16 +431,24 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
 
         @pl.when(t == 0)
         def _():
-            for d in in_dmas(0, 0):
-                d.start()
+            start_in(0, 0)
 
         @pl.when(t + 1 < T)
         def _():
-            for d in in_dmas(t + 1, nslot):
-                d.start()
+            start_in(t + 1, nslot)
 
-        for d in in_dmas(t, slot):
-            d.wait()
+        wait_in(t, slot)
+
+        if zstream:
+            # hand the next z-tile its head rows (the same bytes a full
+            # re-read would fetch — bitwise identical, ~1/tz the bytes)
+            @pl.when((t + 1 < T)
+                     & (lax.rem(t + 1, jnp.int32(nzt)) != 0))
+            def _():
+                hphi[nslot, 0:2 * hz] = hphi[slot, tz:tz + 2 * hz]
+                if hz > 1:
+                    hrhs[nslot, 1:2 * hz - 1] = \
+                        hrhs[slot, tz + 1:tz + 2 * hz - 1]
 
         z0, y0 = tile_org(t)
         zo = z0 + (PZ - hz)
@@ -452,8 +523,10 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
         if restrict_outs:
             # coarse tiles are 1/8 the fine tile: serialized small DMAs
             tzc, tyc = tz // 2, ty // 2
-            z0c = pl.multiple_of((t // nyt) * tzc, tzc)
-            y0c = pl.multiple_of((t % nyt) * tyc, tyc)
+            zi = lax.rem(t, jnp.int32(nzt)) if zstream else t // nyt
+            yi = t // nzt if zstream else lax.rem(t, jnp.int32(nyt))
+            z0c = pl.multiple_of(zi * tzc, tzc)
+            y0c = pl.multiple_of(yi * tyc, tyc)
             pcore = (hout[slot] if fine_out
                      else res[hz:hz + tz, PY:PY + ty, :])
             hpc[:] = _restrict_window(pcore, cfg.interpret)
@@ -483,11 +556,13 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
 
 
 def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
-                 restrict_outs: bool = False, fine_out: bool = True):
+                 restrict_outs: bool = False, fine_out: bool = True,
+                 zstream: bool = True):
     tz, ty, X = cfg.tz, cfg.ty, cfg.X
     tzw, tyw = tz + 2 * hz, ty + 2 * PY
     dt = cfg.dtype
-    kernel, T = _make_kernel(cfg, body, hz, restrict_outs, fine_out)
+    kernel, T = _make_kernel(cfg, body, hz, restrict_outs, fine_out,
+                             zstream)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
