@@ -38,7 +38,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 BASELINE_UNKNOWNS_PER_S = 2.0e8  # estimated Fortran/MPI single node (see above)
 
 
-def run(size, box, n_its=5, dtype_name="float32"):
+def run(size, box, n_its=None, dtype_name="float32"):
+    if n_its is None:
+        # amortize the per-dispatch tunnel roundtrip (~1-3 ms): small
+        # problems need more iterations for a clean device-time figure
+        n_its = max(8, 4096 // size)
     import jax
     import jax.numpy as jnp
     from octree_mg_tpu import MGConfig, build_rectangle, make_solver

@@ -87,8 +87,11 @@ def check(periodic):
     print(f"{tag} apply  max|kernel-jnp| = {d:.3e}", flush=True)
     assert d == 0.0, "apply kernel mismatch"
 
-    # fused downsweep vs the separate kernel chain
-    assert cfg.fused_down_ok
+    # fused downsweep vs the separate kernel chain (needs X >= 256)
+    if not cfg.fused_down_ok:
+        print(f"{tag} downsweep skipped (fused_down_ok false at "
+              f"{SIZE}^3)", flush=True)
+        return
     S2 = SIZE // 2
     corec = (slice(dk.PZ, dk.PZ + S2), slice(dk.PY, dk.PY + S2),
              slice(None))

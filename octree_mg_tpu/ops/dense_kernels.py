@@ -299,7 +299,7 @@ def _restrict_window(core, interp):
 
 def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
                  restrict_outs: bool = False, fine_out: bool = True,
-                 zstream: bool = True):
+                 zstream: bool = False):
     """Shared scaffolding: window DMA in, ``body`` on the window,
     core DMA out.  body(p_window, rhs_window, lam, masks, gcoords, bpw) ->
     window-shaped result.
@@ -317,6 +317,11 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
     in-VMEM head copy) instead of re-reading it from HBM — the z read
     amplification drops from (tz+2*hz)/tz to ~1.  Bitwise identical
     (the carried rows are the same bytes a re-read would fetch).
+    Measured NEGATIVE on this chip and OFF by default: the sweep kernels
+    are compute-bound (pair2 12.56 -> 12.40 ms, downsweep unchanged), and
+    the DMA-bound residual+restrict kernel got 16% slower (7.61 -> 8.85
+    ms, predicated-DMA overhead beats the saved bytes).  Kept as an
+    option for future bandwidth-starved parts.
 
     restrict_outs: body returns (phi_window, res_window); both are
     full-weighting-restricted in-window and written to two extra padded
@@ -557,7 +562,7 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
 
 def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
                  restrict_outs: bool = False, fine_out: bool = True,
-                 zstream: bool = True):
+                 zstream: bool = False):
     tz, ty, X = cfg.tz, cfg.ty, cfg.X
     tzw, tyw = tz + 2 * hz, ty + 2 * PY
     dt = cfg.dtype

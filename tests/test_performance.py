@@ -35,3 +35,31 @@ def test_performance_smoke_3d():
     solver.timers.show()
     assert np.isfinite(float(res))
     assert rate > 0
+
+
+def test_phase_report_both_paths():
+    """The reference's 7-phase timer table (m_multigrid.f90:72-81,
+    mg_timers_show) via utils.phases.phase_report, on both solver
+    paths."""
+    from octree_mg_tpu.solve.dense import make_solver
+    from octree_mg_tpu.utils.phases import phase_report
+
+    size, box = 32, 8
+    dsz = np.full(3, size)
+    tree = build_rectangle(3, dsz, box, 1.0 / dsz, np.zeros(3))
+
+    dense = make_solver(tree, MGConfig(operator="laplacian"))
+    assert type(dense).__name__ == "DenseMGSolver"
+    st = dense.allocate()
+    st = dense.set_interior(st, dense.levels[-1], "rhs",
+                            jnp.ones((size,) * 3, dense.cfg.dtype))
+    t = phase_report(dense, st, show=False)
+    for phase in ("smoother(+gc) [1 cycle]", "smoother ghost-cells",
+                  "update-coarse", "correct", "coarse-solve",
+                  "total FMG cycle"):
+        assert phase in t._acc, phase
+
+    boxed = MGSolver(tree, MGConfig(operator="laplacian"))
+    stb = boxed.allocate()
+    t = phase_report(boxed, stb, show=False)
+    assert "coarse-solve" in t._acc and "smoother ghost-cells" in t._acc
