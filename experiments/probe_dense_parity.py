@@ -118,9 +118,78 @@ def check(periodic):
         assert d == 0.0, f"downsweep {name} mismatch"
 
 
+def check_eps(n_eps):
+    """Variable-coefficient kernels (eps DMA windows) vs jnp fallback."""
+    dims = (SIZE, SIZE, SIZE)
+    periodic = (False, False, False)
+    bc = [(2.0, -1.0, 0.0)] * 6
+    cfg = dk.DenseStencilConfig(dims, (1.0, 1.0, 1.0), bc, periodic,
+                                jnp.float32, b_const=[0.0] * 6,
+                                n_eps=n_eps)
+    assert cfg.use_kernel
+    tag = f"eps{n_eps}"
+    keys = jax.random.split(jax.random.PRNGKey(3), 2 + n_eps)
+    phi = jax.random.normal(keys[0], cfg.pshape, jnp.float32)
+    rhs = jax.random.normal(keys[1], cfg.pshape, jnp.float32)
+    eps = tuple(0.5 + jax.random.uniform(k, cfg.pshape, jnp.float32)
+                for k in keys[2:])
+    lam = jnp.asarray(0.3, jnp.float32)
+    planes = [None] * 6
+    core = (slice(dk.PZ, dk.PZ + SIZE), slice(dk.PY, dk.PY + SIZE),
+            slice(None))
+
+    for name, n_pairs in (("pair", 1), ("pair2", 2)):
+        a = np.asarray(jax.jit(lambda p, r: dk.pair_sweep_dense(
+            cfg, p, r, lam, planes, 0, n_pairs=n_pairs,
+            eps=eps))(phi, rhs)[core])
+        b = phi
+        for _ in range(n_pairs):
+            b = dk._pair_jnp(cfg, b, rhs, lam, planes, 0, eps=eps)
+        d = np.max(np.abs(a - np.asarray(b[core])))
+        print(f"{tag} {name}  max|kernel-jnp| = {d:.3e}", flush=True)
+        assert d == 0.0, f"{tag} {name} kernel mismatch"
+
+    a = np.asarray(jax.jit(lambda p, r: dk.stencil_apply_dense(
+        cfg, p, r, lam, planes, True, eps=eps))(phi, rhs)[core])
+    b = np.asarray(dk._apply_jnp(cfg, phi, rhs, lam, planes, True,
+                                 eps=eps)[core])
+    d = np.max(np.abs(a - b))
+    print(f"{tag} apply  max|kernel-jnp| = {d:.3e}", flush=True)
+    assert d == 0.0, f"{tag} apply kernel mismatch"
+
+    if not cfg.fused_down_ok:
+        print(f"{tag} downsweep skipped (fused_down_ok false)", flush=True)
+        return
+    S2 = SIZE // 2
+    corec = (slice(dk.PZ, dk.PZ + S2), slice(dk.PY, dk.PY + S2),
+             slice(None))
+
+    def fused(p, r):
+        ph, pc, rc = dk.downsweep_dense(cfg, p, r, lam, planes, 0,
+                                        eps=eps)
+        return ph[core], pc[corec], rc[corec]
+
+    def sep(p, r):
+        p = dk.pair_sweep_dense(cfg, p, r, lam, planes, 0, n_pairs=2,
+                                eps=eps)
+        ires = dk.stencil_apply_dense(cfg, p, r, lam, planes, True,
+                                      eps=eps)
+        return (p[core], dk.restrict_dense(cfg, p)[corec],
+                dk.restrict_dense(cfg, ires)[corec])
+
+    fa = jax.jit(fused)(phi, rhs)
+    fb = jax.jit(sep)(phi, rhs)
+    for name, x, y in zip(("phi", "phi_c", "ires_c"), fa, fb):
+        d = np.max(np.abs(np.asarray(x) - np.asarray(y)))
+        print(f"{tag} down/{name}  max|fused-sep| = {d:.3e}", flush=True)
+        assert d == 0.0, f"{tag} downsweep {name} mismatch"
+
+
 def main():
     check((False, False, False))
     check((True, True, True))
+    check_eps(1)
+    check_eps(3)
     print("PARITY OK", flush=True)
 
 

@@ -89,7 +89,7 @@ class DenseStencilConfig:
     """
 
     def __init__(self, dims, idr2, bc, periodic, dtype, b_const=None,
-                 tile=(16, 48), interpret=False):
+                 tile=(16, 48), interpret=False, n_eps=0):
         self.X, self.Y, self.Z = int(dims[0]), int(dims[1]), int(dims[2])
         self.dims = (self.X, self.Y, self.Z)
         self.idr2 = tuple(float(v) for v in idr2)
@@ -97,6 +97,11 @@ class DenseStencilConfig:
         self.periodic = tuple(bool(p) for p in periodic)
         self.dtype = dtype
         self.interpret = interpret
+        #: number of coefficient fields riding along with phi/rhs:
+        #: 0 = constant-coefficient (laplacian/helmholtz), 1 = scalar
+        #: cell-centered eps (vlaplacian/vhelmholtz, m_vlaplacian.f90),
+        #: 3 = per-direction eps (ahelmholtz, m_ahelmholtz.f90)
+        self.n_eps = int(n_eps)
         self.b_const = list(b_const) if b_const is not None else [None] * 6
         for i in range(6):
             if self.periodic[i // 2]:
@@ -204,12 +209,46 @@ def _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret):
     return lo, hi
 
 
-def _halfsweep(cfg, p, rhs_w, lam, masks, upd, red, bpw, interpret):
+def _eps_neighbor_ops(e, d, axis, masks, interpret):
+    """(lo, hi) neighbor values of a coefficient field along dim d.
+
+    Coefficient fields carry Neumann-zero physical ghosts
+    (m_vlaplacian.f90:25-28, m_ahelmholtz.f90:28-41): ghost = x1, i.e.
+    at a physical face the neighbor value IS the cell's own value."""
+    lo_raw = _roll(e, +1, axis, interpret)
+    hi_raw = _roll(e, -1, axis, interpret)
+    if masks[d] is None:
+        return lo_raw, hi_raw
+    m_lo, m_hi = masks[d]
+    return jnp.where(m_lo, e, lo_raw), jnp.where(m_hi, e, hi_raw)
+
+
+def _halfsweep(cfg, p, rhs_w, lam, masks, upd, red, bpw, interpret,
+               eps=()):
     """One masked GSRB half-sweep over a window; bitwise-identical
-    arithmetic to kernels.helmholtz_smooth_half.
+    arithmetic to kernels.helmholtz_smooth_half (constant coefficient)
+    / kernels.vhelmholtz_smooth_half / kernels.ahelmholtz_smooth_half
+    (eps present — same harmonic-mean face coefficients, same num/den
+    accumulation order, m_vlaplacian.f90:51-128, m_ahelmholtz.f90:69-162).
 
     upd: boolean "parity == red parity" mask; red=True updates those
     cells, red=False the complement (same mask, swapped select arms)."""
+    if cfg.n_eps:
+        num = -rhs_w
+        den = lam
+        for d, axis in ((0, 2), (1, 1), (2, 0)):
+            e0 = eps[0] if cfg.n_eps == 1 else eps[d]
+            elo, ehi = _eps_neighbor_ops(e0, d, axis, masks, interpret)
+            plo, phi_ = _neighbor_ops(cfg, p, d, axis, masks, bpw,
+                                      interpret)
+            c = 2.0 * e0 * elo / (e0 + elo) * cfg.idr2[d]
+            num = num + c * plo
+            den = den + c
+            c = 2.0 * e0 * ehi / (e0 + ehi) * cfg.idr2[d]
+            num = num + c * phi_
+            den = den + c
+        new = num / den
+        return jnp.where(upd, new, p) if red else jnp.where(upd, p, new)
     acc = -rhs_w
     # dim order 0=x(axis2), 1=y(axis1), 2=z(axis0), ascending like boxed
     for d, axis in ((0, 2), (1, 1), (2, 0)):
@@ -219,10 +258,22 @@ def _halfsweep(cfg, p, rhs_w, lam, masks, upd, red, bpw, interpret):
     return jnp.where(upd, new, p) if red else jnp.where(upd, p, new)
 
 
-def _apply_expr(cfg, p, lam, masks, bpw, interpret):
+def _apply_expr(cfg, p, lam, masks, bpw, interpret, eps=()):
     """A(phi) over a window (boxed op_apply order: out = -lam*c;
-    out += idr2[d]*(lo + hi - 2c))."""
+    out += idr2[d]*(lo + hi - 2c), or with eps the harmonic-mean form
+    out += c*(nbr - c0), kernels.vhelmholtz_apply/ahelmholtz_apply)."""
     out = -lam * p
+    if cfg.n_eps:
+        for d, axis in ((0, 2), (1, 1), (2, 0)):
+            e0 = eps[0] if cfg.n_eps == 1 else eps[d]
+            elo, ehi = _eps_neighbor_ops(e0, d, axis, masks, interpret)
+            plo, phi_ = _neighbor_ops(cfg, p, d, axis, masks, bpw,
+                                      interpret)
+            c = 2.0 * e0 * elo / (e0 + elo) * cfg.idr2[d]
+            out = out + c * (plo - p)
+            c = 2.0 * e0 * ehi / (e0 + ehi) * cfg.idr2[d]
+            out = out + c * (phi_ - p)
+        return out
     for d, axis in ((0, 2), (1, 1), (2, 0)):
         lo, hi = _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret)
         out = out + cfg.idr2[d] * (lo + hi - 2.0 * p)
@@ -262,20 +313,23 @@ def _bpw_full(cfg, bplanes):
 # jnp fallback (identical computation over the whole padded array)
 # ---------------------------------------------------------------------------
 
-def _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity, zgates=None):
+def _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity, zgates=None,
+              eps=()):
     g = _full_iotas(cfg)
     masks = _face_masks(cfg, g, zgates)
     upd = _parity_mask(g, red_parity)
     bpw = _bpw_full(cfg, bplanes)
-    p1 = _halfsweep(cfg, phi, rhs, lam, masks, upd, True, bpw, True)
-    return _halfsweep(cfg, p1, rhs, lam, masks, upd, False, bpw, True)
+    p1 = _halfsweep(cfg, phi, rhs, lam, masks, upd, True, bpw, True, eps)
+    return _halfsweep(cfg, p1, rhs, lam, masks, upd, False, bpw, True,
+                      eps)
 
 
-def _apply_jnp(cfg, phi, rhs, lam, bplanes, residual, zgates=None):
+def _apply_jnp(cfg, phi, rhs, lam, bplanes, residual, zgates=None,
+               eps=()):
     g = _full_iotas(cfg)
     masks = _face_masks(cfg, g, zgates)
     bpw = _bpw_full(cfg, bplanes)
-    out = _apply_expr(cfg, phi, lam, masks, bpw, True)
+    out = _apply_expr(cfg, phi, lam, masks, bpw, True, eps)
     return rhs - out if residual else out
 
 
@@ -348,17 +402,27 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
             y0 = pl.multiple_of((t % nyt) * ty, ty)
             return z0, y0
 
-    def kernel(phi_hbm, rhs_hbm, b0, b1, b2, b3, b4, b5, lam_ref,
-               zg_ref, *rest):
-        if restrict_outs and fine_out:
-            (out_hbm, outpc_hbm, outrc_hbm, hphi, hrhs, hout, hpc, hrc,
-             sems_in, sems_out, sems_c) = rest
-        elif restrict_outs:
-            (outpc_hbm, outrc_hbm, hphi, hrhs, hpc, hrc,
-             sems_in, sems_c) = rest
-            hout = out_hbm = sems_out = None
-        else:
-            out_hbm, hphi, hrhs, hout, sems_in, sems_out = rest
+    n_eps = cfg.n_eps
+
+    def kernel(*refs):
+        phi_hbm, rhs_hbm = refs[0], refs[1]
+        eps_hbm = refs[2:2 + n_eps]
+        (b0, b1, b2, b3, b4, b5, lam_ref,
+         zg_ref) = refs[2 + n_eps:10 + n_eps]
+        rest = list(refs[10 + n_eps:])
+        out_hbm = rest.pop(0) if fine_out else None
+        if restrict_outs:
+            outpc_hbm = rest.pop(0)
+            outrc_hbm = rest.pop(0)
+        hphi, hrhs = rest.pop(0), rest.pop(0)
+        heps = [rest.pop(0) for _ in range(n_eps)]
+        hout = rest.pop(0) if fine_out else None
+        if restrict_outs:
+            hpc, hrc = rest.pop(0), rest.pop(0)
+        sems_in = rest.pop(0)
+        sems_out = rest.pop(0) if fine_out else None
+        if restrict_outs:
+            sems_c = rest.pop(0)
         # double-buffered pipeline over a linearized grid: the window
         # DMAs of tile t+1 are in flight while tile t computes, and the
         # core write-back of tile t drains under tile t+1's compute
@@ -369,7 +433,7 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
         def full_in_dmas(tt, s):
             zz, yy = tile_org(tt)
             zo = zz + (PZ - hz)
-            return [
+            dmas = [
                 pltpu.make_async_copy(
                     phi_hbm.at[pl.ds(zo, tzw), pl.ds(yy, tyw), :],
                     hphi.at[s], sems_in.at[s, 0]),
@@ -377,6 +441,13 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
                     rhs_hbm.at[pl.ds(zo + 1, tzw - 2), pl.ds(yy, tyw), :],
                     hrhs.at[s, pl.ds(1, tzw - 2)], sems_in.at[s, 1]),
             ]
+            # coefficient windows travel with phi (same halo: sweep k at
+            # valid ring r reads eps at ring r+1, exactly like phi)
+            for i in range(n_eps):
+                dmas.append(pltpu.make_async_copy(
+                    eps_hbm[i].at[pl.ds(zo, tzw), pl.ds(yy, tyw), :],
+                    heps[i].at[s], sems_in.at[s, 2 + i]))
+            return dmas
 
         def part_in_dmas(tt, s):
             # z-streamed continuation tile: only the tz new rows come
@@ -481,11 +552,12 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
         g = (gx, gy, gz)
         pw = hphi[slot]
         rw = hrhs[slot]
+        ew = tuple(h[slot] for h in heps)
 
         def run(active):
             def f():
                 masks = _face_masks(cfg, g, zgates, active=active)
-                return body(pw, rw, lam, masks, g, bpw)
+                return body(pw, rw, lam, masks, g, bpw, ew)
             return f
 
         # interior-tile fast path: most windows contain no y/z boundary
@@ -562,7 +634,10 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
 
 def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
                  restrict_outs: bool = False, fine_out: bool = True,
-                 zstream: bool = False):
+                 zstream: bool = False, eps=()):
+    assert len(eps) == cfg.n_eps
+    assert not (zstream and cfg.n_eps), \
+        "z-streaming not plumbed for coefficient windows"
     tz, ty, X = cfg.tz, cfg.ty, cfg.X
     tzw, tyw = tz + 2 * hz, ty + 2 * PY
     dt = cfg.dtype
@@ -595,12 +670,14 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
         padded_shape((cfg.X // 2, cfg.Y // 2, cfg.Z // 2)), dt)
     scratch = [pltpu.VMEM((2, tzw, tyw, X), dt),
                pltpu.VMEM((2, tzw, tyw, X), dt)]
+    scratch += [pltpu.VMEM((2, tzw, tyw, X), dt)
+                for _ in range(cfg.n_eps)]
     if fine_out:
         scratch += [pltpu.VMEM((2, tz, ty, X), dt)]
     if restrict_outs:
         scratch += [pltpu.VMEM((tz // 2, ty // 2, X // 2), dt),
                     pltpu.VMEM((tz // 2, ty // 2, X // 2), dt)]
-    scratch += [pltpu.SemaphoreType.DMA((2, 2))]
+    scratch += [pltpu.SemaphoreType.DMA((2, 2 + cfg.n_eps))]
     if fine_out:
         scratch += [pltpu.SemaphoreType.DMA((2,))]
     if restrict_outs:
@@ -618,8 +695,8 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
         kernel,
         out_shape=out_shape,
         grid=(T,),
-        in_specs=[any_spec, any_spec] + plane_specs + [smem_spec,
-                                                       smem_spec],
+        in_specs=([any_spec] * (2 + cfg.n_eps) + plane_specs
+                  + [smem_spec, smem_spec]),
         out_specs=out_specs,
         scratch_shapes=scratch,
         # the 4-sweep body's scoped temporaries exceed the 16 MiB
@@ -628,7 +705,7 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=cfg.interpret,
-    )(phi, rhs, *plane_args, lam_arr, zg_arr)
+    )(phi, rhs, *eps, *plane_args, lam_arr, zg_arr)
 
 
 # ---------------------------------------------------------------------------
@@ -636,7 +713,8 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
 # ---------------------------------------------------------------------------
 
 def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
-                     red_parity: int, z_gates=None, n_pairs: int = 1):
+                     red_parity: int, z_gates=None, n_pairs: int = 1,
+                     eps=()):
     """Fused [red half-sweep, ghost refresh, black half-sweep] x n_pairs.
 
     phi/rhs: padded_shape(dims); lam: scalar; bplanes: 6 padded
@@ -654,17 +732,18 @@ def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
     """
     if not cfg.use_kernel:
         assert n_pairs == 1, "jnp fallback runs single pairs"
-        return _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity, z_gates)
+        return _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity, z_gates,
+                         eps)
     assert 2 * n_pairs <= PZ
 
-    def body(p, r, lam_s, masks, g, bpw):
+    def body(p, r, lam_s, masks, g, bpw, epw):
         upd = _parity_mask(g, red_parity)
 
         def one(i, p):
             p = _halfsweep(cfg, p, r, lam_s, masks, upd, True, bpw,
-                           cfg.interpret)
+                           cfg.interpret, epw)
             return _halfsweep(cfg, p, r, lam_s, masks, upd, False, bpw,
-                              cfg.interpret)
+                              cfg.interpret, epw)
 
         if n_pairs == 1:
             return one(0, p)
@@ -673,11 +752,12 @@ def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
         return lax.fori_loop(0, n_pairs, one, p)
 
     return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates,
-                        hz=2 * n_pairs)
+                        hz=2 * n_pairs, eps=eps)
 
 
 def downsweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
-                    red_parity: int, z_gates=None, n_pairs: int = 2):
+                    red_parity: int, z_gates=None, n_pairs: int = 2,
+                    eps=()):
     """Fused V-cycle down-leg: n_pairs GSRB pairs, residual, and
     full-weighting restriction of BOTH phi and the residual, in ONE
     HBM pass (smooth_boxes + update_coarse's residual/restrict,
@@ -692,25 +772,26 @@ def downsweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
     hz = 2 * n_pairs + 1
     assert hz <= PZ
 
-    def body(p, r, lam_s, masks, g, bpw):
+    def body(p, r, lam_s, masks, g, bpw, epw):
         upd = _parity_mask(g, red_parity)
 
         def one(i, p):
             p = _halfsweep(cfg, p, r, lam_s, masks, upd, True, bpw,
-                           cfg.interpret)
+                           cfg.interpret, epw)
             return _halfsweep(cfg, p, r, lam_s, masks, upd, False, bpw,
-                              cfg.interpret)
+                              cfg.interpret, epw)
 
         p = lax.fori_loop(0, n_pairs, one, p) if n_pairs > 1 else one(0, p)
-        resid = r - _apply_expr(cfg, p, lam_s, masks, bpw, cfg.interpret)
+        resid = r - _apply_expr(cfg, p, lam_s, masks, bpw, cfg.interpret,
+                                epw)
         return p, resid
 
     return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates,
-                        hz=hz, restrict_outs=True)
+                        hz=hz, restrict_outs=True, eps=eps)
 
 
 def residual_restrict_dense(cfg: DenseStencilConfig, phi, rhs, lam,
-                            bplanes, z_gates=None):
+                            bplanes, z_gates=None, eps=()):
     """Fused plain update_coarse: residual + full-weighting restriction
     of BOTH phi and the residual in one pass, with NO full-size output
     (m_multigrid.f90:347-384 minus the smoothing).  Returns
@@ -718,26 +799,30 @@ def residual_restrict_dense(cfg: DenseStencilConfig, phi, rhs, lam,
     [stencil_apply_dense(residual=True), restrict_dense x2]."""
     assert cfg.fused_down_ok
 
-    def body(p, r, lam_s, masks, g, bpw):
-        resid = r - _apply_expr(cfg, p, lam_s, masks, bpw, cfg.interpret)
+    def body(p, r, lam_s, masks, g, bpw, epw):
+        resid = r - _apply_expr(cfg, p, lam_s, masks, bpw, cfg.interpret,
+                                epw)
         return p, resid
 
     return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates,
-                        hz=1, restrict_outs=True, fine_out=False)
+                        hz=1, restrict_outs=True, fine_out=False, eps=eps)
 
 
 def stencil_apply_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
-                        residual: bool, z_gates=None):
+                        residual: bool, z_gates=None, eps=()):
     """A(phi) (or rhs - A(phi)) in one pass (box_lpl/box_helmh +
-    residual_box, m_multigrid.f90:426-436)."""
+    residual_box, m_multigrid.f90:426-436; box_vlpl/box_ahelmh when
+    eps fields are present)."""
     if not cfg.use_kernel:
-        return _apply_jnp(cfg, phi, rhs, lam, bplanes, residual, z_gates)
+        return _apply_jnp(cfg, phi, rhs, lam, bplanes, residual, z_gates,
+                          eps)
 
-    def body(p, r, lam_s, masks, g, bpw):
-        out = _apply_expr(cfg, p, lam_s, masks, bpw, cfg.interpret)
+    def body(p, r, lam_s, masks, g, bpw, epw):
+        out = _apply_expr(cfg, p, lam_s, masks, bpw, cfg.interpret, epw)
         return r - out if residual else out
 
-    return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz=1)
+    return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz=1,
+                        eps=eps)
 
 
 # ---------------------------------------------------------------------------

@@ -25,8 +25,11 @@ pad geometry) and runs the cycle
 Results are bit-identical to the boxed ``MGSolver`` (same arithmetic
 per cell in the same order) — asserted in tests/test_dense.py.
 
-Gating: 3D cartesian laplacian/helmholtz with GSRB on uniform trees;
-anything else falls back to the boxed solver (``make_solver``).
+Gating: 3D cartesian operators (laplacian/helmholtz and the
+variable-coefficient vlaplacian/vhelmholtz/ahelmholtz families — the
+coefficient fields ride the kernels as extra DMA windows with inline
+Neumann-zero ghosts) with GSRB on uniform trees; anything else falls
+back to the boxed solver (``make_solver``).
 """
 from __future__ import annotations
 
@@ -47,11 +50,17 @@ from ..ops.ghost import bc_coeffs
 from .multigrid import MGConfig, _enable_compilation_cache
 
 
+#: coefficient-field count per operator (m_vlaplacian.f90:17-21,
+#: m_ahelmholtz.f90:22-26)
+_OP_N_EPS = {"laplacian": 0, "helmholtz": 0,
+             "vlaplacian": 1, "vhelmholtz": 1, "ahelmholtz": 3}
+
+
 def dense_supported(tree: Tree, cfg: MGConfig) -> bool:
     """Whether the dense fast path covers this configuration."""
     return (tree.ndim == 3
             and tree.highest_lvl == 1          # uniform, no AMR
-            and cfg.operator in ("laplacian", "helmholtz")
+            and cfg.operator in _OP_N_EPS
             and cfg.geometry == "cartesian"
             and cfg.smoother in ("gsrb", "gs"))
 
@@ -92,6 +101,9 @@ class DenseMGSolver:
             cfg.smoother = "gsrb"
         self.ndim = 3
         self.n_vars = 4 + cfg.n_extra_vars
+        #: coefficient fields carried by the state as eps0..eps{n-1}
+        #: (the boxed path's IVEPS.. extra variables)
+        self.n_eps = _OP_N_EPS[cfg.operator]
         self.subtract_mean = tree.subtract_mean and cfg.operator == "laplacian"
         #: "direct" (default) or "smooth" (reference-faithful loop)
         self.coarse_solver = cfg.coarse_solver
@@ -175,7 +187,8 @@ class DenseMGSolver:
         return dk.DenseStencilConfig(
             dims=self.dims[lvl], idr2=idr2, bc=bc_full,
             periodic=self.periodic, dtype=self.cfg.dtype,
-            b_const=b_const, interpret=self.interpret)
+            b_const=b_const, interpret=self.interpret,
+            n_eps=self.n_eps)
 
     @functools.cached_property
     def _kcfgs(self):
@@ -196,11 +209,39 @@ class DenseMGSolver:
     def allocate(self) -> Dict:
         dt = self.cfg.dtype
         state = {"phi": {}, "rhs": {}, "iold": {}, "ires": {}, "bc": {}}
+        eps_keys = [f"eps{i}" for i in range(self.n_eps)]
+        for k in eps_keys:
+            state[k] = {}
         for lvl in self.levels:
             shape = dk.padded_shape(self.dims[lvl])
             for k in ("phi", "rhs", "iold", "ires"):
                 state[k][lvl] = jnp.zeros(shape, dt)
+            # coefficient fields default to 1 (harmless harmonic means
+            # everywhere; the user overwrites via set_coefficient)
+            for k in eps_keys:
+                state[k][lvl] = jnp.ones(shape, dt)
             state["bc"][lvl] = self._eval_bc_planes(lvl)
+        return state
+
+    def set_coefficient(self, state, values, d: int = 0):
+        """Write the cell-centered coefficient field (the boxed path's
+        IVEPS+d variable) on the finest level; follow with
+        prepare_coefficient before solving."""
+        assert 0 <= d < self.n_eps
+        return self.set_interior(state, self.levels[-1], f"eps{d}",
+                                 values)
+
+    def prepare_coefficient(self, state):
+        """Restrict the coefficient field(s) down every level (the
+        reference expects eps present on all levels,
+        m_vhelmholtz.f90:7-10; ghost values are synthesized inline by
+        the kernels).  Invalidates the direct coarse factorization —
+        it is rebuilt from the new coarse-level eps on the next solve."""
+        for i in range(self.n_eps):
+            key = f"eps{i}"
+            for lvl in range(self.levels[-1], self.levels[0], -1):
+                state = self._restrict_into(state, lvl, key)
+        self._direct = None
         return state
 
     def _eval_bc_planes(self, lvl: int) -> List[jnp.ndarray]:
@@ -312,7 +353,17 @@ class DenseMGSolver:
         return state
 
     def _lam(self, lam):
+        # the lam-free operators ignore the helmholtz parameter, like
+        # the boxed dispatch (kernels.op_apply passes 0.0)
+        if self.cfg.operator in ("laplacian", "vlaplacian"):
+            lam = 0.0
         return jnp.asarray(lam, self.cfg.dtype)
+
+    def _eps(self, state, lvl):
+        """Synced coefficient windows for the kernels (empty for the
+        constant-coefficient family)."""
+        return tuple(self._sync_pads(state[f"eps{i}"][lvl], lvl)
+                     for i in range(self.n_eps))
 
     def _smooth(self, state, lvl, n_cycle, lam):
         """n_cycle GSRB cycles as fused pair kernels — double pairs (4
@@ -322,13 +373,14 @@ class DenseMGSolver:
         phi = state["phi"][lvl]
         rhs = self._sync_pads(state["rhs"][lvl], lvl)
         bp = state["bc"][lvl]
+        eps = self._eps(state, lvl)
         rem = n_cycle
         while rem > 0:
             k = 2 if (rem >= 2 and cfg.use_kernel) else 1
             phi = self._sync_pads(phi, lvl)
             # substeps n=1,2 -> red parity (n+1)%2 = 0
             phi = dk.pair_sweep_dense(cfg, phi, rhs, lam, bp,
-                                      red_parity=0, n_pairs=k)
+                                      red_parity=0, n_pairs=k, eps=eps)
             rem -= k
         return self._set(state, "phi", lvl, phi)
 
@@ -336,14 +388,16 @@ class DenseMGSolver:
         cfg = self._kcfgs[lvl]
         phi = self._sync_pads(state["phi"][lvl], lvl)
         ires = dk.stencil_apply_dense(cfg, phi, state["rhs"][lvl], lam,
-                                      state["bc"][lvl], residual=True)
+                                      state["bc"][lvl], residual=True,
+                                      eps=self._eps(state, lvl))
         return self._set(state, "ires", lvl, ires)
 
     def _apply_op(self, state, lvl, lam):
         cfg = self._kcfgs[lvl]
         phi = self._sync_pads(state["phi"][lvl], lvl)
         return dk.stencil_apply_dense(cfg, phi, state["rhs"][lvl], lam,
-                                      state["bc"][lvl], residual=False)
+                                      state["bc"][lvl], residual=False,
+                                      eps=self._eps(state, lvl))
 
     def _max_residual(self, state, lvl, lam):
         state = self._residual(state, lvl, lam)
@@ -375,7 +429,8 @@ class DenseMGSolver:
             phi = self._sync_pads(state["phi"][lvl], lvl)
             rhs = self._sync_pads(state["rhs"][lvl], lvl)
             phi_c, ires_c = dk.residual_restrict_dense(
-                cfg, phi, rhs, lam, state["bc"][lvl])
+                cfg, phi, rhs, lam, state["bc"][lvl],
+                eps=self._eps(state, lvl))
             state = self._set(state, "phi", lvl - 1, phi_c)
             state = self._set(state, "ires", lvl - 1, ires_c)
         else:
@@ -415,7 +470,8 @@ class DenseMGSolver:
         phi = self._sync_pads(state["phi"][lvl], lvl)
         rhs = self._sync_pads(state["rhs"][lvl], lvl)
         phi, phi_c, ires_c = dk.downsweep_dense(
-            cfg, phi, rhs, lam, state["bc"][lvl], red_parity=0)
+            cfg, phi, rhs, lam, state["bc"][lvl], red_parity=0,
+            eps=self._eps(state, lvl))
         state = self._set(state, "phi", lvl, phi)
         state = self._set(state, "phi", lvl - 1, phi_c)
         state = self._set(state, "ires", lvl - 1, ires_c)
@@ -657,6 +713,11 @@ class DenseMGSolver:
                                 A[i, i] += idr2[d] * c1
                                 if c2 != 0.0:
                                     A[i, i - step * strides[d]] += idr2[d] * c2
+        return self._eigen_package(A)
+
+    def _eigen_package(self, A):
+        """Eigendecompose the probed coarse operator (symmetric fast
+        path, general real fallback); None when unusable."""
         if np.allclose(A, A.T, atol=1e-12):
             d_eig, V = np.linalg.eigh(A)
             Vinv = V.T
@@ -667,14 +728,48 @@ class DenseMGSolver:
             d_eig = d_c.real
             V = V_c.real
             Vinv = np.linalg.inv(V)
-        null = np.abs(d_eig) < 1e-10 * np.max(np.abs(d_eig))
         dt = self.cfg.dtype
         return {"V": jnp.asarray(V, dt), "Vinv": jnp.asarray(Vinv, dt),
                 "d": jnp.asarray(d_eig, dt),
-                "null": jnp.asarray(null)}
+                "tiny": jnp.asarray(1e-10 * np.max(np.abs(d_eig)), dt)}
 
-    def _ensure_direct(self):
-        if self.coarse_solver == "direct" and self._direct is None:
+    def _build_direct_probe(self, state):
+        """Probe the coarse operator column-by-column through the same
+        jnp code path the runtime uses (variable-coefficient operators:
+        the matrix depends on the coarse-level eps values in ``state``).
+        A(lam) = A0 - lam*I, so probing at lam=0 suffices."""
+        lvl = self.levels[0]
+        X, Y, Z = self.dims[lvl]
+        m = X * Y * Z
+        cfg = self._kcfg(lvl)
+        cfg.use_kernel = False  # tiny level; force the jnp path
+        dt = self.cfg.dtype
+        eps = self._eps(state, lvl)
+        bp = state["bc"][lvl]
+        zeros = jnp.zeros(dk.padded_shape(self.dims[lvl]), dt)
+        lam0 = jnp.asarray(0.0, dt)
+
+        def apply_flat(v):
+            phi = self._sync_pads(zeros.at[_ISL].set(v.reshape(Z, Y, X)),
+                                  lvl)
+            out = dk.stencil_apply_dense(cfg, phi, zeros, lam0, bp,
+                                         residual=False, eps=eps)
+            return out[_ISL].reshape(-1)
+
+        cols = jax.jit(jax.vmap(apply_flat))(jnp.eye(m, dtype=dt))
+        a0 = apply_flat(jnp.zeros(m, dt))  # affine BC contribution
+        A = (np.asarray(cols, np.float64).T
+             - np.asarray(a0, np.float64)[:, None])
+        return self._eigen_package(A)
+
+    def _ensure_direct(self, state=None):
+        if self.coarse_solver != "direct" or self._direct is not None:
+            return
+        if self.n_eps:
+            if state is None:
+                return  # needs eps values; public entries pass state
+            self._direct = self._build_direct_probe(state) or "unavailable"
+        else:
             self._direct = self._build_direct() or "unavailable"
 
     def _coarse_solve(self, state, lam):
@@ -693,8 +788,12 @@ class DenseMGSolver:
         bterm = self._apply_op(zero, lvl, lam)[_ISL].reshape(-1)
         r = state["rhs"][lvl][_ISL].reshape(-1) - bterm
         comp = dd["Vinv"] @ r
+        # a null mode of A stays null only while lam leaves it unshifted
+        # (singular laplacian: drop the mean component; helmholtz with
+        # lam != 0: the shifted spectrum is regular and must be solved)
         denom = dd["d"] - lam
-        comp = jnp.where(dd["null"], 0.0, comp / denom)
+        safe = jnp.abs(denom) > dd["tiny"]
+        comp = jnp.where(safe, comp / jnp.where(safe, denom, 1.0), 0.0)
         x = (dd["V"] @ comp).reshape(Z, Y, X)
         phi = state["phi"][lvl].at[_ISL].set(x)
         return self._set(state, "phi", lvl, phi)
@@ -804,13 +903,13 @@ class DenseMGSolver:
         return f
 
     def fas_vcycle(self, state, lam=0.0, max_lvl=None, need_res=True):
-        self._ensure_direct()
+        self._ensure_direct(state)
         with self.timers.section("total V-cycle"):
             return self._jit_vcycle(state, self._lam(lam), max_lvl=max_lvl,
                                     standalone=True, need_res=need_res)
 
     def fas_fmg(self, state, lam=0.0, have_guess=False, need_res=True):
-        self._ensure_direct()
+        self._ensure_direct(state)
         with self.timers.section("total FMG cycle"):
             return self._jit_fmg(state, self._lam(lam),
                                  have_guess=have_guess, need_res=need_res)

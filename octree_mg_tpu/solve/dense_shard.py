@@ -56,6 +56,11 @@ class ShardedDenseMGSolver(DenseMGSolver):
         self.mesh = mesh
         self.K = mesh.devices.size
         super().__init__(tree, config)
+        if self.n_eps:
+            raise NotImplementedError(
+                "sharded dense path covers constant-coefficient "
+                "operators; variable-coefficient problems run on the "
+                "single-chip dense path or the boxed GSPMD path")
         self.sharded = {}
         for lvl in self.levels:
             X, Y, Z = self.dims[lvl]

@@ -26,7 +26,14 @@ class DiffusionDivergenceError(RuntimeError):
 
 def set_rhs_from_phi(solver: MGSolver, state, f1, f2):
     """rhs = f1*phi + f2*rhs on leaves of levels >= 1
-    (set_rhs, m_diffusion.f90:159-173)."""
+    (set_rhs, m_diffusion.f90:159-173).  On the dense fast path the
+    leaves are exactly the finest level (uniform tree)."""
+    from .dense import DenseMGSolver
+    if isinstance(solver, DenseMGSolver):
+        top = solver.levels[-1]
+        new = (f1 * solver.interior(state, top, "phi")
+               + f2 * solver.interior(state, top, "rhs"))
+        return solver.set_interior(state, top, "rhs", new)
     isl = (slice(1, -1),) * solver.ndim
     for lvl in [l for l in solver.levels if l >= 1]:
         m = solver.maps[lvl]
@@ -92,11 +99,18 @@ def diffusion_solve_acoeff(solver: MGSolver, state, dt: float,
 
 
 def _diffusion_generic(solver, state, dtD, order, max_res, max_its):
+    from .dense import DenseMGSolver
+
+    def apply_to_rhs(st):
+        if isinstance(solver, DenseMGSolver):
+            return solver.apply_operator(st, lam=0.0, out_key="rhs")
+        return solver.apply_operator(st, lam=0.0, i_out=IRHS)
+
     if order == 1:
         lam = 1.0 / dtD
         state = set_rhs_from_phi(solver, state, -1.0 / dtD, 0.0)
     elif order == 2:
-        state = solver.apply_operator(state, lam=0.0, i_out=IRHS)
+        state = apply_to_rhs(state)
         lam = 2.0 / dtD
         state = set_rhs_from_phi(solver, state, -2.0 / dtD, -1.0)
     else:

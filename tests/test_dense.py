@@ -237,6 +237,8 @@ def test_make_solver_dispatch():
     assert isinstance(make_solver(tree, MGConfig(operator="laplacian")),
                       DenseMGSolver)
     assert isinstance(make_solver(tree, MGConfig(operator="vlaplacian")),
+                      DenseMGSolver)
+    assert isinstance(make_solver(tree, MGConfig(smoother="jacobi")),
                       MGSolver)
     dsz2 = np.full(2, 16)
     tree2 = build_rectangle(2, dsz2, 8, 1.0 / dsz2, np.zeros(2))
