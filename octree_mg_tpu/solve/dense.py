@@ -206,19 +206,26 @@ class DenseMGSolver:
     # ------------------------------------------------------------------
     # state
     # ------------------------------------------------------------------
+    @property
+    def _eps_keys(self):
+        return tuple(f"eps{i}" for i in range(self.n_eps))
+
+    @property
+    def _field_keys(self):
+        """All per-level field arrays carried by the state pytree."""
+        return ("phi", "rhs", "iold", "ires") + self._eps_keys
+
     def allocate(self) -> Dict:
         dt = self.cfg.dtype
-        state = {"phi": {}, "rhs": {}, "iold": {}, "ires": {}, "bc": {}}
-        eps_keys = [f"eps{i}" for i in range(self.n_eps)]
-        for k in eps_keys:
-            state[k] = {}
+        state: Dict = {k: {} for k in self._field_keys}
+        state["bc"] = {}
         for lvl in self.levels:
             shape = dk.padded_shape(self.dims[lvl])
             for k in ("phi", "rhs", "iold", "ires"):
                 state[k][lvl] = jnp.zeros(shape, dt)
             # coefficient fields default to 1 (harmless harmonic means
             # everywhere; the user overwrites via set_coefficient)
-            for k in eps_keys:
+            for k in self._eps_keys:
                 state[k][lvl] = jnp.ones(shape, dt)
             state["bc"][lvl] = self._eval_bc_planes(lvl)
         return state

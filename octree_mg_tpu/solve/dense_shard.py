@@ -56,15 +56,13 @@ class ShardedDenseMGSolver(DenseMGSolver):
         self.mesh = mesh
         self.K = mesh.devices.size
         super().__init__(tree, config)
-        if self.n_eps:
-            raise NotImplementedError(
-                "sharded dense path covers constant-coefficient "
-                "operators; variable-coefficient problems run on the "
-                "single-chip dense path or the boxed GSPMD path")
         self.sharded = {}
         for lvl in self.levels:
             X, Y, Z = self.dims[lvl]
-            self.sharded[lvl] = (Z % self.K == 0
+            # the coarsest cycled level never shards: the direct coarse
+            # solve reshapes it globally (and it is tiny anyway)
+            self.sharded[lvl] = (lvl != self.levels[0]
+                                 and Z % self.K == 0
                                  and (Z // self.K) % 2 == 0
                                  and Z // self.K >= MIN_LOCAL_Z
                                  and self.K > 1)
@@ -78,7 +76,8 @@ class ShardedDenseMGSolver(DenseMGSolver):
             return dk.DenseStencilConfig(
                 dims=(cfg.X, cfg.Y, cfg.Z // self.K), idr2=cfg.idr2,
                 bc=cfg.bc, periodic=cfg.periodic, dtype=cfg.dtype,
-                b_const=cfg.b_const, interpret=cfg.interpret)
+                b_const=cfg.b_const, interpret=cfg.interpret,
+                n_eps=cfg.n_eps)
         return cfg
 
     def _zl(self, lvl):
@@ -96,7 +95,8 @@ class ShardedDenseMGSolver(DenseMGSolver):
     # ------------------------------------------------------------------
     def allocate(self) -> Dict:
         dt = self.cfg.dtype
-        state = {"phi": {}, "rhs": {}, "iold": {}, "ires": {}, "bc": {}}
+        state: Dict = {k: {} for k in self._field_keys}
+        state["bc"] = {}
         for lvl in self.levels:
             X, Y, Z = self.dims[lvl]
             if self.sharded[lvl]:
@@ -108,7 +108,24 @@ class ShardedDenseMGSolver(DenseMGSolver):
                 sh = NamedSharding(self.mesh, P())
             for k in ("phi", "rhs", "iold", "ires"):
                 state[k][lvl] = jax.device_put(jnp.zeros(shape, dt), sh)
+            for k in self._eps_keys:
+                state[k][lvl] = jax.device_put(jnp.ones(shape, dt), sh)
             state["bc"][lvl] = self._alloc_bc(lvl)
+        return state
+
+    def prepare_coefficient(self, state):
+        """Restrict the coefficient field(s) down every level on the
+        global (gathered-interior) view — setup-time work, so it stays
+        outside shard_map (the in-cycle halo exchange keeps the pads
+        fresh at runtime)."""
+        for key in self._eps_keys:
+            for lvl in range(self.levels[-1], self.levels[0], -1):
+                fine = self.interior(state, lvl, key)
+                avg = lax.reduce_window(
+                    fine, jnp.zeros((), fine.dtype), lax.add,
+                    (2, 2, 2), (2, 2, 2), "VALID") / 8.0
+                state = self.set_interior(state, lvl - 1, key, avg)
+        self._direct = None
         return state
 
     def _alloc_bc(self, lvl):
@@ -199,13 +216,14 @@ class ShardedDenseMGSolver(DenseMGSolver):
         rhs = self._sync_pads(state["rhs"][lvl], lvl)
         bp = state["bc"][lvl]
         zg = self._gates(lvl)
+        eps = self._eps(state, lvl)
         rem = n_cycle
         while rem > 0:
             k = 2 if (rem >= 2 and cfg.use_kernel) else 1
             phi = self._sync_pads(phi, lvl)
             phi = dk.pair_sweep_dense(cfg, phi, rhs, lam, bp,
                                       red_parity=0, z_gates=zg,
-                                      n_pairs=k)
+                                      n_pairs=k, eps=eps)
             rem -= k
         return self._set(state, "phi", lvl, phi)
 
@@ -223,7 +241,8 @@ class ShardedDenseMGSolver(DenseMGSolver):
         phi = self._sync_pads(state["phi"][lvl], lvl)
         ires = dk.stencil_apply_dense(cfg, phi, state["rhs"][lvl], lam,
                                       state["bc"][lvl], residual=True,
-                                      z_gates=self._gates(lvl))
+                                      z_gates=self._gates(lvl),
+                                      eps=self._eps(state, lvl))
         return self._set(state, "ires", lvl, ires)
 
     def _apply_op(self, state, lvl, lam):
@@ -231,7 +250,8 @@ class ShardedDenseMGSolver(DenseMGSolver):
         phi = self._sync_pads(state["phi"][lvl], lvl)
         return dk.stencil_apply_dense(cfg, phi, state["rhs"][lvl], lam,
                                       state["bc"][lvl], residual=False,
-                                      z_gates=self._gates(lvl))
+                                      z_gates=self._gates(lvl),
+                                      eps=self._eps(state, lvl))
 
     def _max_residual(self, state, lvl, lam):
         state = self._residual(state, lvl, lam)
@@ -393,10 +413,11 @@ class ShardedDenseMGSolver(DenseMGSolver):
     # sharded entry points
     # ------------------------------------------------------------------
     def _state_specs(self):
-        specs = {"phi": {}, "rhs": {}, "iold": {}, "ires": {}, "bc": {}}
+        specs: Dict = {k: {} for k in self._field_keys}
+        specs["bc"] = {}
         for lvl in self.levels:
             sp = P(AXIS) if self.sharded[lvl] else P()
-            for k in ("phi", "rhs", "iold", "ires"):
+            for k in self._field_keys:
                 specs[k][lvl] = sp
             bcs = []
             for i in range(6):
@@ -408,9 +429,10 @@ class ShardedDenseMGSolver(DenseMGSolver):
 
     def _to_local(self, state):
         """Squeeze the leading shard axis off sharded-level arrays."""
-        out = {"phi": {}, "rhs": {}, "iold": {}, "ires": {}, "bc": {}}
+        out: Dict = {k: {} for k in self._field_keys}
+        out["bc"] = {}
         for lvl in self.levels:
-            for k in ("phi", "rhs", "iold", "ires"):
+            for k in self._field_keys:
                 a = state[k][lvl]
                 out[k][lvl] = a[0] if self.sharded[lvl] else a
             bcs = []
@@ -422,9 +444,10 @@ class ShardedDenseMGSolver(DenseMGSolver):
         return out
 
     def _from_local(self, state):
-        out = {"phi": {}, "rhs": {}, "iold": {}, "ires": {}, "bc": {}}
+        out: Dict = {k: {} for k in self._field_keys}
+        out["bc"] = {}
         for lvl in self.levels:
-            for k in ("phi", "rhs", "iold", "ires"):
+            for k in self._field_keys:
                 a = state[k][lvl]
                 out[k][lvl] = a[None] if self.sharded[lvl] else a
             bcs = []
@@ -481,7 +504,7 @@ class ShardedDenseMGSolver(DenseMGSolver):
         return jax.jit(run, static_argnames=("need_res",))
 
     def fas_fmg(self, state, lam=0.0, have_guess=False, need_res=True):
-        self._ensure_direct()
+        self._ensure_direct(state)
         with self.timers.section("total FMG cycle"):
             return self._jit_fmg_sharded(state, self._lam(lam),
                                          have_guess=have_guess,
@@ -489,7 +512,7 @@ class ShardedDenseMGSolver(DenseMGSolver):
 
     def fas_vcycle(self, state, lam=0.0, max_lvl=None, need_res=True):
         assert max_lvl is None, "sharded path: full cycles only"
-        self._ensure_direct()
+        self._ensure_direct(state)
         with self.timers.section("total V-cycle"):
             return self._jit_vcycle_sharded(state, self._lam(lam),
                                             need_res=need_res)

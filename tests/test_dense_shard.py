@@ -66,6 +66,74 @@ def test_sharded_fmg_matches_single(periodic):
         1.0, float(res_d))
 
 
+@pytest.mark.parametrize("operator", ["vlaplacian", "ahelmholtz"])
+def test_sharded_vcoeff_matches_single(operator):
+    """Variable-coefficient sharded FMG (eps halos ride the same
+    ppermute exchange) matches the single-device dense solver."""
+    size = 32
+    dsz = np.full(3, size)
+    tree = build_rectangle(3, dsz, 8, 1.0 / dsz, np.zeros(3))
+    sd = DenseMGSolver(tree, MGConfig(operator=operator))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("z",))
+    ss = ShardedDenseMGSolver(tree, MGConfig(operator=operator),
+                              mesh=mesh)
+    sd.set_bc(0, BCType.DIRICHLET, fn=solution)
+    ss.set_bc(0, BCType.DIRICHLET, fn=solution)
+    st_d = sd.allocate()
+    st_s = ss.allocate()
+    rng = np.random.default_rng(11)
+    top = sd.levels[-1]
+    rhs = rng.normal(size=(size,) * 3)
+    st_d = sd.set_interior(st_d, top, "rhs", jnp.asarray(rhs))
+    st_s = ss.set_interior(st_s, top, "rhs", jnp.asarray(rhs))
+    # identical eps on every level in both solvers (sidestep the
+    # prepare_coefficient kernel-vs-reduce_window rounding difference)
+    for d in range(sd.n_eps):
+        for lvl in sd.levels:
+            X, Y, Z = sd.dims[lvl]
+            eps = 0.5 + rng.random((Z, Y, X))
+            st_d = sd.set_interior(st_d, lvl, f"eps{d}", jnp.asarray(eps))
+            st_s = ss.set_interior(st_s, lvl, f"eps{d}", jnp.asarray(eps))
+    lam = 0.8 if operator == "ahelmholtz" else 0.0
+    st_d, res_d = sd.fas_fmg(st_d, lam=lam)
+    st_s, res_s = ss.fas_fmg(st_s, lam=lam)
+    a = np.asarray(sd.interior(st_d, top, "phi"))
+    b = np.asarray(ss.interior(st_s, top, "phi"))
+    scale = max(np.max(np.abs(a)), 1e-30)
+    assert np.max(np.abs(a - b)) <= 1e-12 * scale, (
+        f"sharded vcoeff vs single diff {np.max(np.abs(a - b))}")
+    assert abs(float(res_d) - float(res_s)) <= 1e-10 * max(
+        1.0, float(res_d))
+
+
+def test_sharded_prepare_coefficient():
+    """Sharded prepare_coefficient restricts eps down the hierarchy on
+    the gathered view, matching the single-device values."""
+    size = 32
+    dsz = np.full(3, size)
+    tree = build_rectangle(3, dsz, 8, 1.0 / dsz, np.zeros(3))
+    sd = DenseMGSolver(tree, MGConfig(operator="vlaplacian",
+                                      coarse_solver="smooth"))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("z",))
+    ss = ShardedDenseMGSolver(tree, MGConfig(operator="vlaplacian",
+                                             coarse_solver="smooth"),
+                              mesh=mesh)
+    st_d = sd.allocate()
+    st_s = ss.allocate()
+    rng = np.random.default_rng(5)
+    top = sd.levels[-1]
+    eps = 0.5 + rng.random((size,) * 3)
+    st_d = sd.set_coefficient(st_d, jnp.asarray(eps))
+    st_s = ss.set_coefficient(st_s, jnp.asarray(eps))
+    st_d = sd.prepare_coefficient(st_d)
+    st_s = ss.prepare_coefficient(st_s)
+    for lvl in sd.levels:
+        a = np.asarray(sd.interior(st_d, lvl, "eps0"))
+        b = np.asarray(ss.interior(st_s, lvl, "eps0"))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-13,
+                                   err_msg=f"eps at lvl {lvl}")
+
+
 def test_sharded_vcycle_converges():
     sd, st_d, ss, st_s = setup(size=64)
     assert ss.sharded[ss.levels[-1]]
