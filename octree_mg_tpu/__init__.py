@@ -21,6 +21,7 @@ from .core.tree import (Tree, build_rectangle, build_amr_centered,
                         finalize_amr, box_r_min)
 from .solve.multigrid import MGConfig, MGSolver
 from .solve.dense import DenseMGSolver, dense_supported, make_solver
+from .solve.dense2d import Dense2DMGSolver, dense2d_supported
 
 __all__ = [
     "BCType", "Geometry", "Operator", "Smoother",
@@ -30,6 +31,7 @@ __all__ = [
     "set_neighbors_lvl", "set_refinement_boundaries", "finalize_amr",
     "box_r_min", "MGConfig", "MGSolver", "DenseMGSolver",
     "dense_supported", "make_solver",
+    "Dense2DMGSolver", "dense2d_supported",
 ]
 
 __version__ = "0.1.0"

@@ -71,6 +71,9 @@ def make_solver(tree: Tree, config: Optional[MGConfig] = None):
     cfg = config or MGConfig()
     if dense_supported(tree, cfg):
         return DenseMGSolver(tree, cfg)
+    from .dense2d import Dense2DMGSolver, dense2d_supported
+    if dense2d_supported(tree, cfg):
+        return Dense2DMGSolver(tree, cfg)
     return MGSolver(tree, cfg)
 
 
@@ -89,21 +92,27 @@ class DenseMGSolver:
     #: coarse-solve level (matrix size bound)
     DIRECT_MAX_CELLS = 512
 
+    #: support predicate checked at construction (2D subclass overrides)
+    _supported = staticmethod(dense_supported)
+
     def __init__(self, tree: Tree, config: Optional[MGConfig] = None):
         _enable_compilation_cache()
         self.tree = tree
         self.cfg = config or MGConfig()
         cfg = self.cfg
-        assert dense_supported(tree, cfg), "dense path gating violated"
+        assert self._supported(tree, cfg), "dense path gating violated"
         if cfg.smoother == "gs":
             warnings.warn("lexicographic GS does not vectorize on TPU; "
                           "using red-black GS (the reference's gsrb mode)")
             cfg.smoother = "gsrb"
-        self.ndim = 3
+        self.ndim = tree.ndim
+        #: interior slicer into the padded per-level arrays
+        self._isl = _ISL
         self.n_vars = 4 + cfg.n_extra_vars
         #: coefficient fields carried by the state as eps0..eps{n-1}
-        #: (the boxed path's IVEPS.. extra variables)
-        self.n_eps = _OP_N_EPS[cfg.operator]
+        #: (the boxed path's IVEPS.. extra variables); ahelmholtz takes
+        #: one per dimension (m_ahelmholtz.f90:25)
+        self.n_eps = min(_OP_N_EPS[cfg.operator], self.ndim)
         self.subtract_mean = tree.subtract_mean and cfg.operator == "laplacian"
         #: "direct" (default) or "smooth" (reference-faithful loop)
         self.coarse_solver = cfg.coarse_solver
@@ -139,7 +148,7 @@ class DenseMGSolver:
             self.levels = all_lvls
 
     def _build_bc(self):
-        nnb = 6
+        nnb = 2 * self.ndim
         self.bc_spec: List[Dict] = [
             {"type": BCType.DIRICHLET, "value": 0.0, "fn": None}
             for _ in range(nnb)]
@@ -149,7 +158,7 @@ class DenseMGSolver:
         """Physical BCs for phi (mg_subr_bc analogue; dense path only
         carries BCs for the solution variable)."""
         assert iv == 0, "dense path: BCs apply to phi"
-        nbs = range(6) if nb is None else [nb]
+        nbs = range(2 * self.ndim) if nb is None else [nb]
         for b in nbs:
             self.bc_spec[b] = {"type": bc_type, "value": value, "fn": fn}
         self._direct = None
@@ -163,7 +172,7 @@ class DenseMGSolver:
         """Per-direction (c0,c1,c2) or None on periodic axes."""
         out = []
         t = self.tree
-        for nbd in range(6):
+        for nbd in range(2 * self.ndim):
             d = nbd // 2
             if self.periodic[d]:
                 out.append(None)
@@ -215,12 +224,20 @@ class DenseMGSolver:
         """All per-level field arrays carried by the state pytree."""
         return ("phi", "rhs", "iold", "ires") + self._eps_keys
 
+    def _pshape(self, dims) -> Tuple[int, ...]:
+        """Padded per-level array shape for this rank."""
+        return dk.padded_shape(dims)
+
+    def _ishape(self, lvl) -> Tuple[int, ...]:
+        """Interior array shape (spatial dims reversed, x fastest)."""
+        return tuple(int(v) for v in self.dims[lvl][::-1])
+
     def allocate(self) -> Dict:
         dt = self.cfg.dtype
         state: Dict = {k: {} for k in self._field_keys}
         state["bc"] = {}
         for lvl in self.levels:
-            shape = dk.padded_shape(self.dims[lvl])
+            shape = self._pshape(self.dims[lvl])
             for k in ("phi", "rhs", "iold", "ires"):
                 state[k][lvl] = jnp.zeros(shape, dt)
             # coefficient fields default to 1 (harmless harmonic means
@@ -325,11 +342,11 @@ class DenseMGSolver:
         """Write interior values [Z, Y, X] of a variable."""
         state = dict(state)
         state[key] = dict(state[key])
-        state[key][lvl] = state[key][lvl].at[_ISL].set(values)
+        state[key][lvl] = state[key][lvl].at[self._isl].set(values)
         return state
 
     def interior(self, state, lvl, key):
-        return state[key][lvl][_ISL]
+        return state[key][lvl][self._isl]
 
     # ------------------------------------------------------------------
     # building blocks
@@ -406,9 +423,15 @@ class DenseMGSolver:
                                       state["bc"][lvl], residual=False,
                                       eps=self._eps(state, lvl))
 
+    def _kernel_apply(self, cfg, phi, rhs, lam, bplanes, eps):
+        """Raw operator application on explicit arrays (used by the
+        column-probing direct-solve build; 2D subclass redirects)."""
+        return dk.stencil_apply_dense(cfg, phi, rhs, lam, bplanes,
+                                      residual=False, eps=eps)
+
     def _max_residual(self, state, lvl, lam):
         state = self._residual(state, lvl, lam)
-        return state, jnp.max(jnp.abs(state["ires"][lvl][_ISL]))
+        return state, jnp.max(jnp.abs(state["ires"][lvl][self._isl]))
 
     def _restrict_into(self, state, lvl, key):
         """Full-weighting restriction lvl -> lvl-1 (m_restrict.f90:183-194).
@@ -420,11 +443,12 @@ class DenseMGSolver:
         if self._transfer_ok(lvl):
             coarse = dk.restrict_dense(self._kcfgs[lvl], state[key][lvl])
             return self._set(state, key, lvl - 1, coarse)
-        fine = state[key][lvl][_ISL]
+        fine = state[key][lvl][self._isl]
+        win = (2,) * self.ndim
         avg = jax.lax.reduce_window(fine, jnp.zeros((), fine.dtype),
-                                    jax.lax.add, (2, 2, 2), (2, 2, 2),
-                                    "VALID") / 8.0
-        coarse = state[key][lvl - 1].at[_ISL].set(avg)
+                                    jax.lax.add, win, win,
+                                    "VALID") / float(2 ** self.ndim)
+        coarse = state[key][lvl - 1].at[self._isl].set(avg)
         return self._set(state, key, lvl - 1, coarse)
 
     def _update_coarse(self, state, lvl, lam):
@@ -449,8 +473,9 @@ class DenseMGSolver:
     def _finish_coarse_rhs(self, state, lvl, lam):
         """rhs_c = A(restrict phi) + restrict(res); iold_c = phi_c."""
         a_phi = self._apply_op(state, lvl - 1, lam)
-        rhs_c = state["rhs"][lvl - 1].at[_ISL].set(
-            a_phi[_ISL] + state["ires"][lvl - 1][_ISL])
+        isl = self._isl
+        rhs_c = state["rhs"][lvl - 1].at[isl].set(
+            a_phi[isl] + state["ires"][lvl - 1][isl])
         state = self._set(state, "rhs", lvl - 1, rhs_c)
         state = self._set(state, "iold", lvl - 1, state["phi"][lvl - 1])
         return state
@@ -610,7 +635,7 @@ class DenseMGSolver:
             return self._set(state, "phi", lvl, phi)
         corr = self._corr_with_ring(state, lvl_c)
         vals = self._prolong_rect(corr)
-        phi = state["phi"][lvl].at[_ISL].add(vals)
+        phi = state["phi"][lvl].at[self._isl].add(vals)
         return self._set(state, "phi", lvl, phi)
 
     def _var_with_ring(self, state, lvl, key):
@@ -679,8 +704,8 @@ class DenseMGSolver:
         """Leaf mean removal (subtract_mean, m_multigrid.f90:245-294;
         uniform tree -> mean over the finest level)."""
         top = self.levels[-1]
-        X, Y, Z = self.dims[top]
-        mean = jnp.sum(state[key][top][_ISL]) / float(X * Y * Z)
+        mean = (jnp.sum(state[key][top][self._isl])
+                / float(np.prod(self.dims[top])))
         for lvl in self.levels:
             state = self._set(state, key, lvl, state[key][lvl] - mean)
         return state
@@ -746,22 +771,22 @@ class DenseMGSolver:
         the matrix depends on the coarse-level eps values in ``state``).
         A(lam) = A0 - lam*I, so probing at lam=0 suffices."""
         lvl = self.levels[0]
-        X, Y, Z = self.dims[lvl]
-        m = X * Y * Z
+        ishape = self._ishape(lvl)
+        m = int(np.prod(ishape))
         cfg = self._kcfg(lvl)
         cfg.use_kernel = False  # tiny level; force the jnp path
         dt = self.cfg.dtype
         eps = self._eps(state, lvl)
         bp = state["bc"][lvl]
-        zeros = jnp.zeros(dk.padded_shape(self.dims[lvl]), dt)
+        zeros = jnp.zeros(self._pshape(self.dims[lvl]), dt)
         lam0 = jnp.asarray(0.0, dt)
+        isl = self._isl
 
         def apply_flat(v):
-            phi = self._sync_pads(zeros.at[_ISL].set(v.reshape(Z, Y, X)),
+            phi = self._sync_pads(zeros.at[isl].set(v.reshape(ishape)),
                                   lvl)
-            out = dk.stencil_apply_dense(cfg, phi, zeros, lam0, bp,
-                                         residual=False, eps=eps)
-            return out[_ISL].reshape(-1)
+            out = self._kernel_apply(cfg, phi, zeros, lam0, bp, eps)
+            return out[isl].reshape(-1)
 
         cols = jax.jit(jax.vmap(apply_flat))(jnp.eye(m, dtype=dt))
         a0 = apply_flat(jnp.zeros(m, dt))  # affine BC contribution
@@ -788,12 +813,12 @@ class DenseMGSolver:
     def _coarse_direct(self, state, lam):
         """phi = A^{-1}(rhs - A(0)) via the precomputed eigenbasis."""
         lvl = self.levels[0]
-        X, Y, Z = self.dims[lvl]
         dd = self._direct
+        isl = self._isl
         zero = self._set(state, "phi", lvl,
                          jnp.zeros_like(state["phi"][lvl]))
-        bterm = self._apply_op(zero, lvl, lam)[_ISL].reshape(-1)
-        r = state["rhs"][lvl][_ISL].reshape(-1) - bterm
+        bterm = self._apply_op(zero, lvl, lam)[isl].reshape(-1)
+        r = state["rhs"][lvl][isl].reshape(-1) - bterm
         comp = dd["Vinv"] @ r
         # a null mode of A stays null only while lam leaves it unshifted
         # (singular laplacian: drop the mean component; helmholtz with
@@ -801,8 +826,8 @@ class DenseMGSolver:
         denom = dd["d"] - lam
         safe = jnp.abs(denom) > dd["tiny"]
         comp = jnp.where(safe, comp / jnp.where(safe, denom, 1.0), 0.0)
-        x = (dd["V"] @ comp).reshape(Z, Y, X)
-        phi = state["phi"][lvl].at[_ISL].set(x)
+        x = (dd["V"] @ comp).reshape(self._ishape(lvl))
+        phi = state["phi"][lvl].at[isl].set(x)
         return self._set(state, "phi", lvl, phi)
 
     def _coarse_smooth(self, state, lam):

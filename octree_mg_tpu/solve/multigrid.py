@@ -753,9 +753,17 @@ class MGSolver:
                                 standalone=False, need_res=need_res)
         return f
 
+    def _lam_arr(self, lam):
+        """Traced Helmholtz scalar shaped (1,)*(ndim+1) — a 0-d traced
+        scalar multiplied into a fused whole-array chain makes XLA emit
+        a ~50x-slower TPU kernel (measured, see ops/dense2d._lam_2d);
+        the broadcastable rank-matched array costs nothing."""
+        return jnp.asarray(lam, self.cfg.dtype).reshape(
+            (1,) * (self.ndim + 1))
+
     def fas_vcycle(self, state, lam=0.0, max_lvl=None, need_res=True):
         dmaps = self._to_device()
-        lam = jnp.asarray(lam, self.cfg.dtype)
+        lam = self._lam_arr(lam)
         with self.timers.section("total V-cycle"):
             out = self._jit_vcycle(state, dmaps, lam, max_lvl=max_lvl,
                                    standalone=True, need_res=need_res)
@@ -774,7 +782,7 @@ class MGSolver:
         """mg_fas_fmg, assembled from jitted per-level programs (or one
         fused program, cfg.fmg_mode)."""
         dmaps = self._to_device()
-        lam = jnp.asarray(lam, self.cfg.dtype)
+        lam = self._lam_arr(lam)
         if self.cfg.fmg_mode == "fused":
             with self.timers.section("total FMG cycle"):
                 return self._jit_fmg_fused(state, dmaps, lam,
@@ -829,5 +837,5 @@ class MGSolver:
         return self.fill_ghost(state, iv)
 
     def apply_operator(self, state, lam=0.0, i_out: int = IRES):
-        lam = jnp.asarray(lam, self.cfg.dtype)
+        lam = self._lam_arr(lam)
         return self.apply_op(state, self._to_device(), lam, i_out)

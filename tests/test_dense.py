@@ -240,9 +240,12 @@ def test_make_solver_dispatch():
                       DenseMGSolver)
     assert isinstance(make_solver(tree, MGConfig(smoother="jacobi")),
                       MGSolver)
+    from octree_mg_tpu import Dense2DMGSolver
     dsz2 = np.full(2, 16)
     tree2 = build_rectangle(2, dsz2, 8, 1.0 / dsz2, np.zeros(2))
-    assert isinstance(make_solver(tree2, MGConfig()), MGSolver)
+    assert isinstance(make_solver(tree2, MGConfig()), Dense2DMGSolver)
+    assert isinstance(make_solver(tree2, MGConfig(smoother="jacobi")),
+                      MGSolver)
 
 
 def test_transfer_kernels_match_xla():
