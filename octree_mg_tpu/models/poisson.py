@@ -13,11 +13,18 @@ import numpy as np
 
 from ..core.constants import IPHI, IRHS, BCType
 from ..core.tree import Tree, build_rectangle
+from ..solve.dense import DenseMGSolver, make_solver
 from ..solve.multigrid import MGConfig, MGSolver
 
 
 class PoissonSolver:
     """Solve A(phi) = rhs on a uniform rectangular grid or an AMR tree.
+
+    Uniform trees route to the dense fast paths via ``make_solver``
+    (147x the boxed solver in 2D, fused Mosaic kernels in 3D); AMR
+    trees and non-GSRB configs use the boxed solver.  ``solve``/``phi``
+    return the assembled global interior array for dense solvers and
+    the ghost-padded per-box plane for the boxed solver.
 
     Example::
 
@@ -44,9 +51,10 @@ class PoissonSolver:
             tree = build_rectangle(ndim, domain_size, box_size, dr, r_min,
                                    periodic)
         self.tree = tree
-        self.solver = MGSolver(tree, MGConfig(operator=operator,
-                                              geometry=geometry, dtype=dtype,
-                                              **cfg_kwargs))
+        self.solver = make_solver(tree, MGConfig(operator=operator,
+                                                 geometry=geometry,
+                                                 dtype=dtype, **cfg_kwargs))
+        self.dense = isinstance(self.solver, DenseMGSolver)
         self.state = None
 
     # -- BCs ------------------------------------------------------------
@@ -68,9 +76,22 @@ class PoissonSolver:
     def set_rhs(self, rhs_fn: Optional[Callable] = None,
                 arrays: Optional[dict] = None):
         """rhs from a coordinate function x[...,D]->f (evaluated on every
-        level) or explicit per-level arrays."""
+        level) or explicit per-level arrays (interior-shaped for dense
+        solvers, per-box ghost-padded for the boxed solver)."""
         state = self._ensure_state()
         sv = self.solver
+        if self.dense:
+            for lvl in sv.levels:
+                if arrays is not None and lvl in arrays:
+                    vals = jnp.asarray(arrays[lvl], sv.cfg.dtype)
+                elif rhs_fn is not None:
+                    vals = jnp.asarray(rhs_fn(sv.cell_centers(lvl)),
+                                       sv.cfg.dtype)
+                else:
+                    continue
+                state = sv.set_interior(state, lvl, "rhs", vals)
+            self.state = state
+            return
         isl = (slice(None),) + (slice(1, -1),) * sv.ndim
         for lvl in sv.levels:
             if arrays is not None and lvl in arrays:
@@ -109,9 +130,13 @@ class PoissonSolver:
                 break
         self.state = state
         top = sv.levels[-1]
-        return state["cc"][top][IPHI], {"residuals": history,
-                                        "cycles": len(history)}
+        info = {"residuals": history, "cycles": len(history)}
+        if self.dense:
+            return sv.interior(state, top, "phi"), info
+        return state["cc"][top][IPHI], info
 
     def phi(self, lvl: Optional[int] = None) -> np.ndarray:
         lvl = self.solver.levels[-1] if lvl is None else lvl
+        if self.dense:
+            return np.asarray(self.solver.interior(self.state, lvl, "phi"))
         return np.asarray(self.state["cc"][lvl][IPHI])
