@@ -22,6 +22,7 @@ from .core.tree import (Tree, build_rectangle, build_amr_centered,
 from .solve.multigrid import MGConfig, MGSolver
 from .solve.dense import DenseMGSolver, dense_supported, make_solver
 from .solve.dense2d import Dense2DMGSolver, dense2d_supported
+from .solve.dense_amr import DenseAMRMGSolver, dense_amr_supported
 
 __all__ = [
     "BCType", "Geometry", "Operator", "Smoother",
@@ -32,6 +33,7 @@ __all__ = [
     "box_r_min", "MGConfig", "MGSolver", "DenseMGSolver",
     "dense_supported", "make_solver",
     "Dense2DMGSolver", "dense2d_supported",
+    "DenseAMRMGSolver", "dense_amr_supported",
 ]
 
 __version__ = "0.1.0"

@@ -50,11 +50,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: pad depths: z (untiled axis) carries the 5-deep halo of the fused
-#: downsweep kernel (4 half-sweeps + residual ring need a 5-deep valid
-#: ring); y (sublane axis) is padded to the Mosaic window-alignment
+#: pad depths: z (untiled axis) needs >=5 for the fused downsweep
+#: kernel's halo (4 half-sweeps + residual ring) and is 8 so that the
+#: boundary-value planes — whose z extent sits on the SUBLANE dim of
+#: their 2D layout — admit 8-aligned window loads (offset z0 multiple
+#: of tz, size tz+2*PZ, then a static in-register subslice); y (sublane
+#: axis of the 3D arrays) is padded to the Mosaic window-alignment
 #: quantum, which also covers the deepest y halo
-PZ = 5
+PZ = 8
 PY = 8
 
 
@@ -109,9 +112,12 @@ class DenseStencilConfig:
         self.plane_faces = [i for i in range(6)
                             if self.b_const[i] is None]
         # plane-valued faces keep their windows resident in VMEM; use
-        # smaller tiles to leave room
+        # smaller tiles to leave room.  Their z extent sits on the
+        # sublane dim of the 2D plane layout, so the aligned-superset
+        # window loads additionally need tz % 8 == 0.
         want_z, want_y = tile if not self.plane_faces else (8, 32)
-        self.tz = _pick_tile(self.Z, want_z)
+        self.tz = _pick_tile(self.Z, want_z,
+                             quantum=8 if self.plane_faces else 1)
         self.ty = _pick_tile(self.Y, want_y, quantum=PY)
         #: whether the Mosaic kernel path is usable (alignment); tiny or
         #: unaligned levels use the identical-jnp fallback.  X must fill
@@ -537,12 +543,24 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
         for i in range(6):
             if cfg.b_const[i] is not None:
                 bpw.append(cfg.b_const[i])
-            elif i < 2:
-                w = brefs[i][pl.ds(zo, tzw), pl.ds(y0, tyw)]
-                bpw.append(w[:, :, None])
-            elif i < 4:
-                w = brefs[i][pl.ds(zo, tzw), :]
-                bpw.append(w[:, None, :])
+                continue
+            if i < 4:
+                # x/y-face planes put z on the SUBLANE dim: the window
+                # offset zo = z0 + (PZ - hz) is not 8-aligned, so load
+                # the aligned superset [z0, z0+tz+2*PZ) (z0 is a tz
+                # multiple and tz%8==0 whenever plane faces exist) and
+                # subslice statically in registers.  x-face planes
+                # additionally carry y on LANES (no dynamic lane
+                # windows): they arrive pre-blocked [nyt, ZP, tyw] and
+                # the kernel indexes the untiled tile axis.
+                zb = pl.multiple_of(z0, tz)
+                if i < 2:
+                    yi = lax.div(y0, jnp.int32(ty))
+                    w = brefs[i][yi, pl.ds(zb, tz + 2 * PZ), :]
+                    bpw.append(w[PZ - hz:PZ - hz + tzw][:, :, None])
+                else:
+                    w = brefs[i][pl.ds(zb, tz + 2 * PZ), :]
+                    bpw.append(w[PZ - hz:PZ - hz + tzw][:, None, :])
             else:
                 w = brefs[i][pl.ds(y0, tyw), :]
                 bpw.append(w[None, :, :])
@@ -652,7 +670,15 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
     plane_specs = []
     for i in range(6):
         if cfg.b_const[i] is None:
-            plane_args.append(bplanes[i])
+            p = bplanes[i]
+            if i < 2:
+                # x-face planes: y lives on lanes where dynamic windows
+                # are not expressible — pre-block per y tile (the
+                # overlap duplication is tiny; planes are face-sized)
+                nyt = cfg.Y // ty
+                p = jnp.stack([p[:, k * ty:k * ty + tyw]
+                               for k in range(nyt)])
+            plane_args.append(p)
             plane_specs.append(vmem_spec)
         else:
             plane_args.append(zeros11)

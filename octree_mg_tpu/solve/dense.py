@@ -74,6 +74,9 @@ def make_solver(tree: Tree, config: Optional[MGConfig] = None):
     from .dense2d import Dense2DMGSolver, dense2d_supported
     if dense2d_supported(tree, cfg):
         return Dense2DMGSolver(tree, cfg)
+    from .dense_amr import DenseAMRMGSolver, dense_amr_supported
+    if dense_amr_supported(tree, cfg):
+        return DenseAMRMGSolver(tree, cfg)
     return MGSolver(tree, cfg)
 
 
@@ -376,6 +379,12 @@ class DenseMGSolver:
         state[key][lvl] = arr
         return state
 
+    def _planes(self, state, lvl):
+        """Boundary-value planes consumed by the kernels at lvl; the
+        AMR subclass swaps refinement faces for traced interpolation
+        planes here."""
+        return state["bc"][lvl]
+
     def _lam(self, lam):
         # the lam-free operators ignore the helmholtz parameter, like
         # the boxed dispatch (kernels.op_apply passes 0.0)
@@ -396,7 +405,7 @@ class DenseMGSolver:
         cfg = self._kcfgs[lvl]
         phi = state["phi"][lvl]
         rhs = self._sync_pads(state["rhs"][lvl], lvl)
-        bp = state["bc"][lvl]
+        bp = self._planes(state, lvl)
         eps = self._eps(state, lvl)
         rem = n_cycle
         while rem > 0:
@@ -412,7 +421,7 @@ class DenseMGSolver:
         cfg = self._kcfgs[lvl]
         phi = self._sync_pads(state["phi"][lvl], lvl)
         ires = dk.stencil_apply_dense(cfg, phi, state["rhs"][lvl], lam,
-                                      state["bc"][lvl], residual=True,
+                                      self._planes(state, lvl), residual=True,
                                       eps=self._eps(state, lvl))
         return self._set(state, "ires", lvl, ires)
 
@@ -420,7 +429,7 @@ class DenseMGSolver:
         cfg = self._kcfgs[lvl]
         phi = self._sync_pads(state["phi"][lvl], lvl)
         return dk.stencil_apply_dense(cfg, phi, state["rhs"][lvl], lam,
-                                      state["bc"][lvl], residual=False,
+                                      self._planes(state, lvl), residual=False,
                                       eps=self._eps(state, lvl))
 
     def _kernel_apply(self, cfg, phi, rhs, lam, bplanes, eps):
@@ -460,7 +469,7 @@ class DenseMGSolver:
             phi = self._sync_pads(state["phi"][lvl], lvl)
             rhs = self._sync_pads(state["rhs"][lvl], lvl)
             phi_c, ires_c = dk.residual_restrict_dense(
-                cfg, phi, rhs, lam, state["bc"][lvl],
+                cfg, phi, rhs, lam, self._planes(state, lvl),
                 eps=self._eps(state, lvl))
             state = self._set(state, "phi", lvl - 1, phi_c)
             state = self._set(state, "ires", lvl - 1, ires_c)
@@ -502,7 +511,7 @@ class DenseMGSolver:
         phi = self._sync_pads(state["phi"][lvl], lvl)
         rhs = self._sync_pads(state["rhs"][lvl], lvl)
         phi, phi_c, ires_c = dk.downsweep_dense(
-            cfg, phi, rhs, lam, state["bc"][lvl], red_parity=0,
+            cfg, phi, rhs, lam, self._planes(state, lvl), red_parity=0,
             eps=self._eps(state, lvl))
         state = self._set(state, "phi", lvl, phi)
         state = self._set(state, "phi", lvl - 1, phi_c)
@@ -631,7 +640,7 @@ class DenseMGSolver:
             iold_c = self._sync_pads(state["iold"][lvl_c], lvl_c)
             phi = dk.prolong_correct_dense(
                 self._kcfgs[lvl_c], phi_c, iold_c, state["phi"][lvl],
-                state["bc"][lvl_c])
+                self._planes(state, lvl_c))
             return self._set(state, "phi", lvl, phi)
         corr = self._corr_with_ring(state, lvl_c)
         vals = self._prolong_rect(corr)
