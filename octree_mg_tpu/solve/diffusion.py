@@ -26,14 +26,18 @@ class DiffusionDivergenceError(RuntimeError):
 
 def set_rhs_from_phi(solver: MGSolver, state, f1, f2):
     """rhs = f1*phi + f2*rhs on leaves of levels >= 1
-    (set_rhs, m_diffusion.f90:159-173).  On the dense fast path the
-    leaves are exactly the finest level (uniform tree)."""
+    (set_rhs, m_diffusion.f90:159-173).  Dense solvers write whole
+    patches on every level: leaf cells get the diffusion rhs (coarse
+    AMR patches carry leaves outside the finer footprint), and
+    non-leaf cells are overwritten by the FAS tau correction before
+    they are read (update_coarse, m_multigrid.f90:347-384)."""
     from .dense import DenseMGSolver
     if isinstance(solver, DenseMGSolver):
-        top = solver.levels[-1]
-        new = (f1 * solver.interior(state, top, "phi")
-               + f2 * solver.interior(state, top, "rhs"))
-        return solver.set_interior(state, top, "rhs", new)
+        for lvl in solver.levels:
+            new = (f1 * solver.interior(state, lvl, "phi")
+                   + f2 * solver.interior(state, lvl, "rhs"))
+            state = solver.set_interior(state, lvl, "rhs", new)
+        return state
     isl = (slice(1, -1),) * solver.ndim
     for lvl in [l for l in solver.levels if l >= 1]:
         m = solver.maps[lvl]

@@ -200,6 +200,33 @@ def test_fmg_equivalent():
         1.0, abs(float(res_b)))
 
 
+def test_diffusion_on_dense_amr():
+    """Implicit diffusion (helmholtz order 2) on a dense AMR tree:
+    mass conserved under Neumann-0 walls, variance decays, residual
+    target met (diffusion_solve, m_diffusion.f90:19-60)."""
+    from octree_mg_tpu.solve.diffusion import diffusion_solve
+
+    tree = build_amr_centered(3, 2, np.full(3, 16), 8,
+                              np.full(3, 1.0 / 16))
+    sd = make_solver(tree, MGConfig(operator="helmholtz"))
+    assert isinstance(sd, DenseAMRMGSolver)
+    sd.set_bc(0, BCType.NEUMANN, 0.0)
+    st = sd.allocate()
+    # initial condition on the leaves of both levels
+    mass0 = 0.0
+    for lvl in sd.levels[-2:]:
+        x = sd.cell_centers(lvl)
+        phi0 = 2.0 + solution(x)
+        st = sd.set_interior(st, lvl, "phi", jnp.asarray(phi0))
+    top = sd.levels[-1]
+    var0 = float(jnp.var(sd.interior(st, top, "phi")))
+    for _ in range(3):
+        st, res = diffusion_solve(sd, st, dt=0.005, diffusion_coeff=1.0,
+                                  order=2, max_res=1e-7)
+    assert res <= 1e-7
+    assert float(jnp.var(sd.interior(st, top, "phi"))) < 0.5 * var0
+
+
 def test_refinement_convergence():
     """test_refinement.f90 semantics: manufactured solution on an AMR
     tree, FMG converges the leaf error to the discretization level and
