@@ -24,9 +24,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import tree as tree_mod
-from ..core.constants import IPHI, BCType
+from ..core.constants import IOLD, IPHI, IRES, IRHS, IVEPS, BCType
 from ..core.tree import Tree
+from ..solve.dense import DenseMGSolver, make_solver
 from ..solve.multigrid import MGConfig, MGSolver
+
+
+def _dense_key(solver, iv: int) -> str:
+    """Boxed variable index -> dense state key."""
+    base = {IPHI: "phi", IRHS: "rhs", IOLD: "iold", IRES: "ires"}
+    if iv in base:
+        return base[iv]
+    d = iv - IVEPS
+    if 0 <= d < solver.n_eps:
+        return f"eps{d}"
+    raise ValueError(f"variable {iv} not carried by the dense solver")
 
 #: host boundary-type names -> multigrid BCs (mod_multigrid_coupling.t:95-110)
 BC_TRANSLATION = {
@@ -72,27 +84,42 @@ class HostCoupling:
         self.r_min = np.asarray(r_min, float)
         self.periodic = periodic
         self.config = config or MGConfig()
-        self.solver: Optional[MGSolver] = None
+        self.solver = None
         self.state = None
+        self.dense = False
+        self._bc_calls: List[tuple] = []
         self._leaf_index: Dict[Tuple[int, Tuple[int, ...]], Tuple[int, int]] = {}
 
     # -- tree lifecycle -------------------------------------------------
     def update_refinement(self, refine_fn, max_lvl: int,
                           changed: bool = True):
         """(Re)build the tree after a host regrid
-        (mg_update_refinement, mod_multigrid_coupling.t:116-130)."""
+        (mg_update_refinement, mod_multigrid_coupling.t:116-130).
+
+        The solver is re-picked by ``make_solver`` each rebuild —
+        rectangular forests get the dense fast paths (17x+ the boxed
+        solver on TPU), anything else the boxed solver; recorded BC
+        settings are replayed onto the new solver."""
         if self.solver is not None and not changed:
             return
         tree = tree_from_forest(self.ndim, self.domain_size, self.box_size,
                                 self.dx, self.r_min, self.periodic,
                                 refine_fn, max_lvl)
-        bc_spec = self.solver.bc_spec if self.solver is not None else None
-        self.solver = MGSolver(tree, self.config)
-        if bc_spec is not None:
-            self.solver.bc_spec = bc_spec
-            self.solver._dmaps = None
+        self.solver = make_solver(tree, self.config)
+        self.dense = isinstance(self.solver, DenseMGSolver)
+        for iv, bc_type, value, nb, fn in self._bc_calls:
+            if self.dense and iv != IPHI:
+                continue  # dense paths carry BCs for phi only
+            self.solver.set_bc(iv, bc_type, value=value, nb=nb, fn=fn)
         self.state = self.solver.allocate()
         self._build_leaf_index()
+
+    def set_bc(self, iv: int, bc_type: BCType, value: float = 0.0,
+               nb: Optional[int] = None, fn: Optional[Callable] = None):
+        """Set (and record, for replay across regrids) a physical BC."""
+        self._bc_calls.append((iv, bc_type, value, nb, fn))
+        if self.solver is not None and not (self.dense and iv != IPHI):
+            self.solver.set_bc(iv, bc_type, value=value, nb=nb, fn=fn)
 
     def _build_leaf_index(self):
         """(lvl, ix) -> (lvl, loc) lookup for leaves, the analogue of the
@@ -115,23 +142,55 @@ class HostCoupling:
             if name not in BC_TRANSLATION:
                 raise ValueError(
                     f"'{name}' is not a standard boundary; set a "
-                    "user-defined method via solver.set_bc")
+                    "user-defined method via coupling.set_bc")
             bc_type, value = BC_TRANSLATION[name]
-            self.solver.set_bc(iv, bc_type, value=value, nb=nb)
+            self.set_bc(iv, bc_type, value=value, nb=nb)
         self.state = self.solver.allocate() if self.state is None else self.state
 
     # -- field transfer -------------------------------------------------
+    def _leaf_start(self, lvl: int, ix) -> np.ndarray:
+        """Patch-local cell start of a leaf box (x, y, z order)."""
+        nc = self.solver.tree.box_size_lvl[lvl]
+        off = (self.solver.offsets[lvl]
+               if hasattr(self.solver, "offsets") else 0)
+        return (np.asarray(ix) - 1) * nc - off
+
     def copy_to_tree(self, leaf_fields: Dict, iv: int,
                      restrict: bool = False, restrict_gc: bool = False):
         """Copy per-leaf host arrays (incl. one ghost layer,
         [(nc+2)^D]) into tree variable ``iv`` (mg_copy_to_tree)."""
+        state = self.state
+        if self.dense:
+            sv = self.solver
+            key = _dense_key(sv, iv)
+            per_level: Dict[int, List] = {}
+            for (lvl, ix), arr in leaf_fields.items():
+                per_level.setdefault(lvl, []).append((ix, np.asarray(arr)))
+            for lvl, items in per_level.items():
+                nc = sv.tree.box_size_lvl[lvl]
+                cur = np.array(sv.interior(state, lvl, key))
+                for ix, a in items:
+                    if a.shape[-1] == nc + 2:  # strip the host ghost layer
+                        a = a[(slice(1, -1),) * self.ndim]
+                    s = self._leaf_start(lvl, ix)
+                    sl = tuple(slice(int(s[d]), int(s[d]) + nc)
+                               for d in reversed(range(self.ndim)))
+                    cur[sl] = a
+                state = sv.set_interior(state, lvl, key,
+                                        jnp.asarray(cur, sv.cfg.dtype))
+            if restrict:
+                for lvl in range(sv.levels[-1], sv.levels[0], -1):
+                    state = sv._restrict_into(state, lvl, key)
+                # restrict_gc is a no-op: dense ghosts are synthesized
+                # inline at the cells that read them
+            self.state = state
+            return
         per_level: Dict[int, Tuple[List[int], List[np.ndarray]]] = {}
         for (lvl, ix), arr in leaf_fields.items():
             l2, loc = self._leaf_index[(lvl, tuple(ix))]
             per_level.setdefault(l2, ([], []))
             per_level[l2][0].append(loc)
             per_level[l2][1].append(np.asarray(arr))
-        state = self.state
         for lvl, (locs, arrs) in per_level.items():
             plane = state["cc"][lvl][iv]
             plane = plane.at[jnp.asarray(np.array(locs))].set(
@@ -148,6 +207,30 @@ class HostCoupling:
         (mg_copy_from_tree / mg_copy_from_tree_gc; corner ghost cells are
         not meaningful)."""
         out = {}
+        if self.dense:
+            sv = self.solver
+            key = _dense_key(sv, iv)
+            ringed: Dict[int, np.ndarray] = {}
+            for lvl in sv.levels:
+                if lvl < 1:
+                    continue
+                if with_ghosts:
+                    ringed[lvl] = np.asarray(
+                        sv._var_with_ring(self.state, lvl, key))
+                else:
+                    ringed[lvl] = np.asarray(sv.interior(self.state,
+                                                         lvl, key))
+            for (lvl, ix) in self._leaf_index:
+                nc = sv.tree.box_size_lvl[lvl]
+                s = self._leaf_start(lvl, np.asarray(ix))
+                if with_ghosts:
+                    sl = tuple(slice(int(s[d]), int(s[d]) + nc + 2)
+                               for d in reversed(range(self.ndim)))
+                else:
+                    sl = tuple(slice(int(s[d]), int(s[d]) + nc)
+                               for d in reversed(range(self.ndim)))
+                out[(lvl, tuple(np.asarray(ix)))] = ringed[lvl][sl]
+            return out
         for (lvl, ix), (l2, loc) in self._leaf_index.items():
             arr = np.asarray(self.state["cc"][l2][iv][loc])
             if not with_ghosts:

@@ -379,10 +379,10 @@ class DenseMGSolver:
         state[key][lvl] = arr
         return state
 
-    def _planes(self, state, lvl):
+    def _planes(self, state, lvl, key="phi"):
         """Boundary-value planes consumed by the kernels at lvl; the
         AMR subclass swaps refinement faces for traced interpolation
-        planes here."""
+        planes of ``key``'s coarse field here."""
         return state["bc"][lvl]
 
     def _lam(self, lam):
@@ -647,14 +647,21 @@ class DenseMGSolver:
         phi = state["phi"][lvl].at[self._isl].add(vals)
         return self._set(state, "phi", lvl, phi)
 
+    def _ring_bc(self, lvl):
+        """(c0,c1,c2) per face used for ghost-ring synthesis; the AMR
+        subclass substitutes refinement-face coefficients."""
+        return self._bc_static(lvl)
+
     def _var_with_ring(self, state, lvl, key):
         """One variable with a 1-ghost ring [Z+2, Y+2, X+2]: ring faces
         from the bc_to_gc formula (ghost = c0*b + c1*x1 + c2*x2,
-        m_ghost_cells.f90:682-698) or periodic wrap."""
+        m_ghost_cells.f90:682-698) or periodic wrap.  On AMR patches the
+        refinement faces use (0.5, 0.75, -0.25) with the coarse-interp
+        plane (via _ring_bc/_planes)."""
         X, Y, Z = self.dims[lvl]
         arr = state[key][lvl]
-        bp = state["bc"][lvl]
-        bc = self._bc_static(lvl)
+        bp = self._planes(state, lvl, key)
+        bc = self._ring_bc(lvl)
         out = jnp.zeros((Z + 2, Y + 2, X + 2), self.cfg.dtype)
         out = out.at[(slice(1, -1),) * 3].set(arr[_ISL])
         for nbd in range(6):

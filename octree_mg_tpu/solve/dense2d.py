@@ -228,6 +228,39 @@ class Dense2DMGSolver(DenseMGSolver):
             corr = corr.at[tuple(sl)].set(ring)
         return corr
 
+    def _var_with_ring(self, state, lvl, key):
+        """One variable with a 1-ghost ring [Y+2, X+2] (2D bc_to_gc
+        synthesis / periodic wrap; used by the coupling layer's
+        ghost-inclusive leaf export)."""
+        X, Y = self.dims[lvl]
+        arr = state[key][lvl]
+        bp = self._planes(state, lvl, key)
+        bc = self._ring_bc(lvl)
+        out = jnp.zeros((Y + 2, X + 2), self.cfg.dtype)
+        out = out.at[1:-1, 1:-1].set(arr)
+        for nbd in range(4):
+            d = nbd // 2
+            lowside = nbd % 2 == 0
+            ax = 1 - d
+            n_d = (X, Y)[d]
+
+            def pick(idx):
+                sl = [slice(None)] * 2
+                sl[ax] = idx
+                return arr[tuple(sl)]
+
+            if self.periodic[d]:
+                ring = pick(n_d - 1 if lowside else 0)
+            else:
+                c0, c1, c2 = bc[nbd]
+                ring = c0 * bp[nbd] + c1 * pick(0 if lowside else n_d - 1)
+                if c2 != 0.0:
+                    ring = ring + c2 * pick(1 if lowside else n_d - 2)
+            sl: List = [slice(1, -1)] * 2
+            sl[ax] = 0 if lowside else -1
+            out = out.at[tuple(sl)].set(ring)
+        return out
+
     def _prolong_rect(self, sub):
         """Bilinear prolongation [Yc+2, Xc+2] -> [2Yc, 2Xc]
         (mg_prolong_sparse 2D weights 1/2, 1/4, 1/4; same arithmetic

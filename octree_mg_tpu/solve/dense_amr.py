@@ -269,13 +269,21 @@ class DenseAMRMGSolver(DenseMGSolver):
             out.append(jnp.asarray(vals, dt))
         return out
 
+    def _ring_bc(self, lvl):
+        """Ghost-ring coefficients: refinement faces take the sides_rb
+        combination, physical faces the bc_to_gc formula."""
+        phys = super()._bc_static(lvl)
+        return [RB_COEFFS if self.face_kind[lvl][nb] == "rb" else phys[nb]
+                for nb in range(6)]
+
     # ------------------------------------------------------------------
     # refinement-boundary ghost planes (traced)
     # ------------------------------------------------------------------
-    def _planes(self, state, lvl):
+    def _planes(self, state, lvl, key="phi"):
         """BC planes with refinement faces replaced by the coarse-side
-        interpolation (box_gc_for_fine_neighbor: strip + ±0.125
-        transverse gradients, m_ghost_cells.f90:500-577)."""
+        interpolation of ``key``'s coarse field
+        (box_gc_for_fine_neighbor: strip + ±0.125 transverse gradients,
+        m_ghost_cells.f90:500-577)."""
         kinds = self.face_kind[lvl]
         if "rb" not in kinds:
             return state["bc"][lvl]
@@ -284,7 +292,7 @@ class DenseAMRMGSolver(DenseMGSolver):
         # consumed where the strip pokes past the coarse interior, i.e.
         # at domain-flush transverse edges — physical synthesis, exactly
         # the boxed coarse ghost fill)
-        cw = self._var_with_ring(state, lvl - 1, "phi")
+        cw = self._var_with_ring(state, lvl - 1, key)
         r0, r1 = self.regions[lvl]
         for nb in range(6):
             if kinds[nb] != "rb":

@@ -53,3 +53,59 @@ def test_host_roundtrip_and_solve():
     # a solve runs on the coupled tree
     state, res = hc.solver.fas_fmg(hc.state)
     assert np.isfinite(float(res))
+
+
+def test_host_coupling_dense_amr():
+    """Rectangular 3D forests route to the dense-patch AMR solver; the
+    leaf transfer (incl. ghost-layer export) matches the boxed coupling
+    bitwise, and BCs replay across regrids."""
+    from octree_mg_tpu import DenseAMRMGSolver, MGConfig
+    from octree_mg_tpu.solve.dense import DenseMGSolver
+
+    def mk(cfg):
+        return HostCoupling(3, [32] * 3, 8, [1 / 32] * 3, [0] * 3,
+                            [False] * 3, config=cfg)
+
+    hd = mk(MGConfig(operator="laplacian"))
+    # jacobi fails the dense gating -> boxed reference for the transfer
+    hb = mk(MGConfig(operator="laplacian", smoother="jacobi"))
+    for hc in (hd, hb):
+        hc.update_refinement(center_refine(3, 32, 8), max_lvl=2)
+        hc.set_boundary_conditions(["asymm"] * 6)
+    assert isinstance(hd.solver, DenseAMRMGSolver)
+    assert not isinstance(hb.solver, DenseMGSolver)
+
+    t = hb.solver.tree
+    rng = np.random.default_rng(5)
+    fields = {}
+    for lvl in [l for l in hb.solver.levels if l >= 1]:
+        for b in t.lvls[lvl].leaves:
+            fields[(lvl, tuple(t.ix[int(b)]))] = rng.normal(size=(10,) * 3)
+    for hc in (hd, hb):
+        hc.copy_to_tree(fields, IPHI)
+    # canonical boxed ghosts for comparison
+    hb.state = hb.solver.fill_ghost(hb.state, IPHI)
+    gd = hd.copy_from_tree(IPHI, with_ghosts=True)
+    gb = hb.copy_from_tree(IPHI, with_ghosts=True)
+    ci = (slice(1, -1),) * 3
+    for key in fields:
+        np.testing.assert_array_equal(gd[key][ci], gb[key][ci],
+                                      err_msg=f"interior {key}")
+        a, b = gd[key], gb[key]
+        for ax in range(3):
+            for side in (0, -1):
+                sl = [slice(1, -1)] * 3
+                sl[ax] = side
+                np.testing.assert_array_equal(
+                    a[tuple(sl)], b[tuple(sl)],
+                    err_msg=f"ghost face ax{ax} side{side} {key}")
+
+    # a solve runs on the dense-coupled tree and converges
+    hd.copy_to_tree(fields, IRHS)
+    st, res0 = hd.solver.fas_fmg(hd.state)
+    st, res = hd.solver.fas_fmg(st, have_guess=True)
+    assert float(res) < 0.2 * float(res0)
+
+    # regrid: BCs replay onto the rebuilt solver
+    hd.update_refinement(center_refine(3, 32, 8), max_lvl=2)
+    assert hd.solver.bc_spec[0]["type"] == BCType.DIRICHLET
