@@ -94,7 +94,76 @@ def run(size, box, n_its=None, dtype_name="float32"):
     return ups, dt / n_its, converged, r0, r1
 
 
+def run_2d(size, box, n_its=32):
+    """Secondary benchmark: 2D Poisson FMG (dense 2D fast path)."""
+    import jax.numpy as jnp
+    from octree_mg_tpu import (BCType, Dense2DMGSolver, MGConfig,
+                               build_rectangle)
+    dsz = np.full(2, size)
+    tree = build_rectangle(2, dsz, box, 1.0 / dsz, np.zeros(2))
+    sv = Dense2DMGSolver(tree, MGConfig(operator="laplacian",
+                                        dtype=jnp.float32, donate=True))
+    sv.set_bc(0, BCType.DIRICHLET, 0.0)
+    st = sv.allocate()
+    st = sv.set_interior(st, sv.levels[-1], "rhs",
+                         jnp.ones((size, size), jnp.float32))
+    st, res0 = sv.fas_fmg(st)
+    r0 = float(res0)
+    st, res = sv.fas_fmg(st, have_guess=True)
+    _ = float(res)
+    t0 = time.perf_counter()
+    for _ in range(n_its):
+        st, res = sv.fas_fmg(st, have_guess=True)
+    r1 = float(res)
+    dt = (time.perf_counter() - t0) / n_its
+    return size * size / dt, dt, r1 <= r0, r0, r1
+
+
+def run_amr(size, box, n_levels=3, n_its=16):
+    """Secondary benchmark: 3-level centered AMR FMG (dense-patch AMR);
+    throughput in leaf unknowns/s (test_refinement.f90 metric)."""
+    import jax.numpy as jnp
+    from octree_mg_tpu import (BCType, DenseAMRMGSolver, MGConfig,
+                               build_amr_centered)
+    tree = build_amr_centered(3, n_levels, np.full(3, size), box,
+                              np.full(3, 1.0 / size))
+    sv = DenseAMRMGSolver(tree, MGConfig(operator="laplacian",
+                                         dtype=jnp.float32, donate=True))
+    sv.set_bc(0, BCType.DIRICHLET, 0.0)
+    st = sv.allocate()
+    top = sv.levels[-1]
+    st = sv.set_interior(st, top, "rhs",
+                         jnp.ones(sv.dims[top][::-1], jnp.float32))
+    n_unk = sum(len(tree.lvls[l].leaves)
+                for l in range(1, tree.highest_lvl + 1)) * box ** 3
+    st, res0 = sv.fas_fmg(st)
+    r0 = float(res0)
+    st, res = sv.fas_fmg(st, have_guess=True)
+    _ = float(res)
+    t0 = time.perf_counter()
+    for _ in range(n_its):
+        st, res = sv.fas_fmg(st, have_guess=True)
+    r1 = float(res)
+    dt = (time.perf_counter() - t0) / n_its
+    return n_unk / dt, dt, r1 <= r0, r0, r1
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] in ("2d", "amr"):
+        # secondary suites (not the driver's headline line)
+        mode = sys.argv[1]
+        size = int(sys.argv[2]) if len(sys.argv) > 2 else (
+            2048 if mode == "2d" else 128)
+        box = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+        ups, t_it, conv, r0, r1 = (run_2d if mode == "2d"
+                                   else run_amr)(size, box)
+        print(json.dumps({
+            "metric": f"unknowns_per_s_{size}_{mode}_poisson_fmg",
+            "value": ups, "unit": "unknowns/s",
+            "vs_baseline": ups / BASELINE_UNKNOWNS_PER_S}))
+        print(f"# {mode} size={size} box={box} time/FMG={t_it:.4f}s "
+              f"res {r0:.3e}->{r1:.3e} converged={conv}", file=sys.stderr)
+        return
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     box = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     import gc
