@@ -338,6 +338,60 @@ class Dense2DMGSolver(DenseMGSolver):
         return self._set(state, key, lvl - 1, avg)
 
     # ------------------------------------------------------------------
+    # multi-chip: GSPMD y-slab sharding
+    # ------------------------------------------------------------------
+    def shard_state(self, state, mesh, min_local: int = 16):
+        """Place the state on a 1D device mesh as y-slabs (GSPMD).
+
+        The 2D fast path is a pure-XLA whole-array program (no Mosaic
+        kernels), so multi-chip execution needs no shard_map: sharding
+        the ``[Y, X]`` level arrays along Y and jitting the unchanged
+        cycle lets XLA's SPMD partitioner insert the neighbor
+        collective-permutes for the shifted stencil reads and the
+        psum/pmax reductions — the GSPMD rendering of the reference's
+        slab MPI decomposition (m_load_balance.f90; the 3D dense path
+        implements the same decomposition explicitly with lax.ppermute
+        in solve/dense_shard.py, which Mosaic kernels require).  Levels
+        whose local slab would fall under ``min_local`` rows are
+        replicated — coarse-level agglomeration, the TPU analogue of
+        the reference's single-rank coarse levels
+        (m_load_balance.f90:27-29).
+
+        Returns the re-placed state; the existing jitted cycle drivers
+        recompile once for the sharded layout and run distributed
+        (asserted sharded == single-device in tests/test_dense2d_shard
+        and __graft_entry__.dryrun_multichip).
+        """
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ax = mesh.axis_names[0]
+        K = int(np.prod(mesh.devices.shape))
+        repl = NamedSharding(mesh, PartitionSpec())
+        ysh = NamedSharding(mesh, PartitionSpec(ax, None))
+        #: per-level decision, inspectable (mirrors dense_shard.sharded)
+        self.y_sharded = {}
+        for lvl in self.levels:
+            Y = self.dims[lvl][1]
+            # even local slabs keep the restriction pair-sums and the
+            # checkerboard shard-local (correct either way under GSPMD,
+            # but this avoids gratuitous boundary collectives)
+            self.y_sharded[lvl] = (lvl != self.levels[0] and K > 1
+                                   and Y % K == 0
+                                   and (Y // K) % 2 == 0
+                                   and Y // K >= min_local)
+        out = {}
+        for key, per_lvl in state.items():
+            if key == "bc":
+                out[key] = {lvl: [jax.device_put(v, repl) for v in vecs]
+                            for lvl, vecs in per_lvl.items()}
+            else:
+                out[key] = {lvl: jax.device_put(
+                    arr, ysh if self.y_sharded[lvl] else repl)
+                    for lvl, arr in per_lvl.items()}
+        return out
+
+    # ------------------------------------------------------------------
     # coarse solve: always probe through the runtime operator (covers
     # constant-coefficient, eps and cylindrical uniformly)
     # ------------------------------------------------------------------
