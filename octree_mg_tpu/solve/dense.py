@@ -77,6 +77,9 @@ def make_solver(tree: Tree, config: Optional[MGConfig] = None):
     from .dense_amr import DenseAMRMGSolver, dense_amr_supported
     if dense_amr_supported(tree, cfg):
         return DenseAMRMGSolver(tree, cfg)
+    from .dense_amr2d import Dense2DAMRMGSolver, dense_amr2d_supported
+    if dense_amr2d_supported(tree, cfg):
+        return Dense2DAMRMGSolver(tree, cfg)
     return MGSolver(tree, cfg)
 
 

@@ -152,7 +152,7 @@ class Dense2DMGSolver(DenseMGSolver):
         cfg = self._kcfgs[lvl]
         phi = state["phi"][lvl]
         rhs = state["rhs"][lvl]
-        bp = state["bc"][lvl]
+        bp = self._planes(state, lvl)
         eps = self._eps(state, lvl)
         for _ in range(n_cycle):
             # boxed substep n updates 1-based parity n%2, i.e. 0-based
@@ -166,7 +166,8 @@ class Dense2DMGSolver(DenseMGSolver):
         cfg = self._kcfgs[lvl]
         ires = d2.stencil_apply_2d(cfg, state["phi"][lvl],
                                    state["rhs"][lvl], lam,
-                                   state["bc"][lvl], residual=True,
+                                   self._planes(state, lvl),
+                                   residual=True,
                                    eps=self._eps(state, lvl))
         return self._set(state, "ires", lvl, ires)
 
@@ -174,7 +175,8 @@ class Dense2DMGSolver(DenseMGSolver):
         cfg = self._kcfgs[lvl]
         return d2.stencil_apply_2d(cfg, state["phi"][lvl],
                                    state["rhs"][lvl], lam,
-                                   state["bc"][lvl], residual=False,
+                                   self._planes(state, lvl),
+                                   residual=False,
                                    eps=self._eps(state, lvl))
 
     def _kernel_apply(self, cfg, phi, rhs, lam, bplanes, eps):

@@ -61,7 +61,8 @@ RB_COEFFS = (0.5, 0.75, -0.25)
 
 def _patch_geometry(tree: Tree) -> Optional[Dict]:
     """Per-level rectangular patch geometry, or None if any level's
-    boxes do not tile a rectangle (then the boxed solver applies)."""
+    boxes do not tile a rectangle (then the boxed solver applies).
+    Rank-generic (the 2D dense-patch AMR solver reuses it)."""
     lvls = list(range(tree.lowest_lvl, tree.highest_lvl + 1))
     offsets: Dict[int, np.ndarray] = {}
     dims: Dict[int, np.ndarray] = {}
@@ -70,7 +71,7 @@ def _patch_geometry(tree: Tree) -> Optional[Dict]:
         if len(ids) == 0:
             return None
         nc = tree.box_size_lvl[lvl]
-        ix = tree.ix[ids] - 1  # [n, 3] 0-based (x, y, z)
+        ix = tree.ix[ids] - 1  # [n, ndim] 0-based (x, y(, z))
         lo = ix.min(axis=0)
         hi = ix.max(axis=0) + 1
         if len(ids) != int(np.prod(hi - lo)):
@@ -89,6 +90,26 @@ def _patch_geometry(tree: Tree) -> Optional[Dict]:
     return {"offsets": offsets, "dims": dims, "regions": regions}
 
 
+def _rb_strips_inside(tree: Tree, geom: Dict) -> bool:
+    """Each refinement face needs its coarse strip (region±1 ring)
+    inside the coarse patch; a region face may touch the coarse patch
+    edge only where both are flush with the physical domain.
+    Rank-generic (shared with the 2D dense-patch AMR gate)."""
+    for lvl in range(tree.lowest_lvl + 1, tree.highest_lvl + 1):
+        r0, r1 = geom["regions"][lvl]
+        dims_c = geom["dims"][lvl - 1]
+        off_c = geom["offsets"][lvl - 1]
+        dom_c = tree.domain_size_lvl[lvl - 1]
+        for d in range(tree.ndim):
+            lo_flush_dom = off_c[d] + r0[d] == 0
+            hi_flush_dom = off_c[d] + r1[d] == dom_c[d]
+            if r0[d] == 0 and not lo_flush_dom:
+                return False
+            if r1[d] == dims_c[d] and not hi_flush_dom:
+                return False
+    return True
+
+
 def dense_amr_supported(tree: Tree, cfg: MGConfig) -> bool:
     """Whether the dense-patch AMR path covers this configuration."""
     if not (tree.ndim == 3
@@ -101,22 +122,7 @@ def dense_amr_supported(tree: Tree, cfg: MGConfig) -> bool:
     geom = _patch_geometry(tree)
     if geom is None:
         return False
-    # each refinement face needs its coarse strip (region±1 ring) inside
-    # the coarse patch; a region face may touch the coarse patch edge
-    # only where both are flush with the physical domain
-    for lvl in range(tree.lowest_lvl + 1, tree.highest_lvl + 1):
-        r0, r1 = geom["regions"][lvl]
-        dims_c = geom["dims"][lvl - 1]
-        off_c = geom["offsets"][lvl - 1]
-        dom_c = tree.domain_size_lvl[lvl - 1]
-        for d in range(3):
-            lo_flush_dom = off_c[d] + r0[d] == 0
-            hi_flush_dom = off_c[d] + r1[d] == dom_c[d]
-            if r0[d] == 0 and not lo_flush_dom:
-                return False
-            if r1[d] == dims_c[d] and not hi_flush_dom:
-                return False
-    return True
+    return _rb_strips_inside(tree, geom)
 
 
 class DenseAMRMGSolver(DenseMGSolver):

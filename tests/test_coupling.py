@@ -30,9 +30,28 @@ def test_tree_from_forest_structure():
 
 
 def test_host_roundtrip_and_solve():
-    hc = HostCoupling(2, [32, 32], 8, [1 / 32] * 2, [0, 0], [False, False])
-    hc.update_refinement(center_refine(2, 32, 8), max_lvl=2)
-    hc.set_boundary_conditions(["asymm", "asymm", "symm", "symm"])
+    """2D center-refined forests route to the 2D dense-patch AMR
+    solver: leaf interiors round-trip exactly and the ghost-layer
+    export matches the boxed coupling's filled ghosts bitwise (the
+    dense paths store interiors only — mg_copy_to_tree copies interiors
+    too, mod_multigrid_coupling.t:133-150 — and synthesize the exported
+    ring the way fill_ghost would)."""
+    from octree_mg_tpu import MGConfig
+    from octree_mg_tpu.solve.dense import DenseMGSolver
+    from octree_mg_tpu.solve.dense_amr2d import Dense2DAMRMGSolver
+
+    def mk(cfg):
+        return HostCoupling(2, [32, 32], 8, [1 / 32] * 2, [0, 0],
+                            [False, False], config=cfg)
+
+    hc = mk(None)
+    # jacobi fails the dense gating -> boxed reference for the transfer
+    hb = mk(MGConfig(operator="laplacian", smoother="jacobi"))
+    for h in (hc, hb):
+        h.update_refinement(center_refine(2, 32, 8), max_lvl=2)
+        h.set_boundary_conditions(["asymm", "asymm", "symm", "symm"])
+    assert isinstance(hc.solver, Dense2DAMRMGSolver)
+    assert not isinstance(hb.solver, DenseMGSolver)
 
     # per-leaf host fields incl. ghost layer
     t = hc.solver.tree
@@ -42,13 +61,26 @@ def test_host_roundtrip_and_solve():
         for b in t.lvls[lvl].leaves:
             fields[(lvl, tuple(t.ix[int(b)]))] = \
                 rng.normal(size=(10, 10))
-    hc.copy_to_tree(fields, IRHS)
-    back = hc.copy_from_tree(IRHS, with_ghosts=True)
-    for key, arr in fields.items():
-        np.testing.assert_array_equal(back[key], arr)
+    for h in (hc, hb):
+        h.copy_to_tree(fields, IRHS)
+        h.copy_to_tree(fields, IPHI)
     interior = hc.copy_from_tree(IRHS)
     for key, arr in fields.items():
         np.testing.assert_array_equal(interior[key], arr[1:-1, 1:-1])
+    # ghost export == boxed filled ghosts (corners not meaningful)
+    hb.state = hb.solver.fill_ghost(hb.state, IPHI)
+    gd = hc.copy_from_tree(IPHI, with_ghosts=True)
+    gb = hb.copy_from_tree(IPHI, with_ghosts=True)
+    for key in fields:
+        np.testing.assert_array_equal(gd[key][1:-1, 1:-1],
+                                      gb[key][1:-1, 1:-1])
+        for ax in range(2):
+            for side in (0, -1):
+                sl = [slice(1, -1)] * 2
+                sl[ax] = side
+                np.testing.assert_array_equal(
+                    gd[key][tuple(sl)], gb[key][tuple(sl)],
+                    err_msg=f"ghost face ax{ax} side{side} {key}")
 
     # a solve runs on the coupled tree
     state, res = hc.solver.fas_fmg(hc.state)
