@@ -82,6 +82,43 @@ def test_sharded_vcycle_converges():
     assert float(r1) < 0.2 * float(r0)
 
 
+def test_sharded_amr2d_matches_single():
+    """The 2D dense-patch AMR solver is pure XLA too: GSPMD y-slab
+    placement distributes the whole AMR cycle (refinement-boundary
+    strip interpolation included) — multi-chip AMR on a fast path."""
+    from octree_mg_tpu import build_amr_centered
+    from octree_mg_tpu.solve.dense_amr2d import Dense2DAMRMGSolver
+
+    def mk():
+        tree = build_amr_centered(2, 3, np.full(2, 128), 16,
+                                  np.full(2, 1.0 / 128))
+        sv = make_solver(tree, MGConfig(operator="laplacian"))
+        assert isinstance(sv, Dense2DAMRMGSolver)
+        sv.set_bc(0, BCType.DIRICHLET, fn=solution)
+        st = sv.allocate()
+        rng = np.random.default_rng(5)
+        for lvl in sv.levels:
+            st = sv.set_interior(
+                st, lvl, "rhs",
+                jnp.asarray(rng.normal(size=sv.dims[lvl][::-1])))
+        return sv, st
+
+    sv1, st1 = mk()
+    st1, res1 = sv1.fas_fmg(st1)
+    sv2, st2 = mk()
+    mesh = Mesh(np.array(jax.devices()[:8]), ("y",))
+    st2 = sv2.shard_state(st2, mesh)
+    assert any(sv2.y_sharded[l] for l in sv2.levels)
+    st2, res2 = sv2.fas_fmg(st2)
+    top = sv1.levels[-1]
+    a = np.asarray(sv1.interior(st1, top, "phi"))
+    b = np.asarray(sv2.interior(st2, top, "phi"))
+    scale = np.max(np.abs(a)) + 1e-300
+    assert np.max(np.abs(a - b)) <= 1e-12 * scale
+    assert abs(float(res1) - float(res2)) <= 1e-12 * (
+        abs(float(res1)) + 1e-300)
+
+
 def test_sharded_vhelmholtz_matches_single():
     solver, state, mesh, rng = setup(size=128, operator="vhelmholtz")
     eps = jnp.asarray(0.5 + rng.random((128, 128)))
