@@ -19,7 +19,7 @@ from .core.tree import (Tree, build_rectangle, build_amr_centered,
                         add_children, set_leaves_parents, set_next_level_ids,
                         set_neighbors_lvl, set_refinement_boundaries,
                         finalize_amr, box_r_min)
-from .solve.multigrid import MGConfig, MGSolver
+from .solve.multigrid import MGConfig, MGExperimental, MGSolver
 from .solve.dense import DenseMGSolver, dense_supported, make_solver
 from .solve.dense2d import Dense2DMGSolver, dense2d_supported
 from .solve.dense_amr import DenseAMRMGSolver, dense_amr_supported
@@ -31,7 +31,7 @@ __all__ = [
     "NUM_VARS", "Tree", "build_rectangle", "build_amr_centered",
     "add_children", "set_leaves_parents", "set_next_level_ids",
     "set_neighbors_lvl", "set_refinement_boundaries", "finalize_amr",
-    "box_r_min", "MGConfig", "MGSolver", "DenseMGSolver",
+    "box_r_min", "MGConfig", "MGExperimental", "MGSolver", "DenseMGSolver",
     "dense_supported", "make_solver",
     "Dense2DMGSolver", "dense2d_supported",
     "DenseAMRMGSolver", "dense_amr_supported",

@@ -62,6 +62,23 @@ def _enable_compilation_cache():
 
 
 @dataclasses.dataclass
+class MGExperimental:
+    """Measured-negative / research options, kept runnable for their
+    tests but not part of the shipped configuration surface (every
+    shipped path is covered by bench.py / docs/PERF.md)."""
+
+    #: read neighbor faces directly inside smoother half-sweeps instead
+    #: of materializing ghost cells between sweeps.  Bitwise-identical
+    #: but ~15% slower on TPU than the materialized path, superseded by
+    #: the dense-path fused pair kernel.
+    gathered_smoother: bool = False
+    #: Pallas lane-roll half-sweep kernel for the boxed
+    #: constant-coefficient cartesian smoother (the dense path's pair
+    #: kernels are the production Mosaic smoothers).
+    pallas_smoother: bool = False
+
+
+@dataclasses.dataclass
 class MGConfig:
     """Runtime configuration (the reference's mg_t public fields,
     m_data_structures.f90:250-342)."""
@@ -86,16 +103,6 @@ class MGConfig:
     #: dispatch overhead, heavy one-time compile — right for production
     #: serving of one configuration)
     fmg_mode: str = "split"
-    #: read neighbor faces directly inside smoother half-sweeps instead
-    #: of materializing ghost cells between sweeps.  Kept as a tested
-    #: negative result: bitwise-identical but ~15% slower on TPU than
-    #: the materialized path (concatenate copies vs fused slicing), and
-    #: superseded by the dense-path fused pair kernel.  Test-only.
-    gathered_smoother: bool = False
-    #: use the Pallas (Mosaic) lane-roll half-sweep kernel for the
-    #: constant-coefficient cartesian smoother (experimental; falls back
-    #: to the XLA kernel elsewhere).  Interpret mode on CPU backends.
-    pallas_smoother: bool = False
     #: pad every level's box count to a multiple of this (0/1 = off):
     #: required for even box-axis sharding of AMR levels across a device
     #: mesh (pad boxes are inert and stay zero); set to the mesh size
@@ -115,6 +122,9 @@ class MGConfig:
     #: applies to levels that shard evenly; results are bitwise equal
     #: either way (tests/test_explicit_halo.py)
     halo: str = "gspmd"
+    #: research/negative-result options (see MGExperimental)
+    experimental: MGExperimental = dataclasses.field(
+        default_factory=MGExperimental)
 
 
 class MGSolver:
@@ -423,18 +433,18 @@ class MGSolver:
 
     def _smooth_boxes(self, state, dmaps, lvl: int, n_cycle: int, lam):
         """smooth_boxes (m_multigrid.f90:404-424): ghost fill after every
-        substep (or fused into the sweep, cfg.gathered_smoother)."""
+        substep (or fused into the sweep, experimental.gathered_smoother)."""
         ctx = self._op_ctx(lvl, dmaps)
         parity = dmaps[lvl]["parity"]
         st = self.static[lvl]
-        gathered = (self.cfg.gathered_smoother
+        gathered = (self.cfg.experimental.gathered_smoother
                     and self.cfg.smoother == "gsrb"
                     and self.cfg.operator in ("laplacian", "helmholtz")
                     and self.cfg.geometry == "cartesian"
                     and not any(st["mr"]))
         # laplacian only for now: lam is a traced scalar for helmholtz
         # and the kernel bakes the denominator statically
-        use_pallas = (self.cfg.pallas_smoother
+        use_pallas = (self.cfg.experimental.pallas_smoother
                       and self.cfg.smoother == "gsrb"
                       and self.cfg.operator == "laplacian"
                       and self.cfg.geometry == "cartesian"

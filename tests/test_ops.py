@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from octree_mg_tpu import (IPHI, IRES, IRHS, IVEPS, BCType, MGConfig,
+                           MGExperimental,
                            MGSolver, build_rectangle)
 from octree_mg_tpu.core.indexmaps import checkerboard_parity
 from octree_mg_tpu.ops import transfer
@@ -208,7 +209,7 @@ def test_gathered_smoother_bitwise_matches(periodic):
     states = []
     for gathered in (False, True):
         solver = make_solver(3, 16, 8, periodic=periodic,
-                             gathered_smoother=gathered)
+                             experimental=MGExperimental(gathered_smoother=gathered))
         state = solver.allocate()
         top = solver.levels[-1]
         rng = np.random.default_rng(9)

@@ -31,14 +31,15 @@ def test_pallas_half_sweep_matches_jnp(ndim, nc, parity_val):
 def test_pallas_smoother_in_solver_bitwise():
     """cfg.pallas_smoother=True produces identical V-cycle results to the
     XLA smoother (interpret mode on CPU)."""
-    from octree_mg_tpu import IPHI, IRHS, MGConfig, MGSolver, build_rectangle
+    from octree_mg_tpu import (IPHI, IRHS, MGConfig, MGExperimental,
+                               MGSolver, build_rectangle)
 
     results = []
     for use_pallas in (False, True):
         dsz = np.full(3, 16)
         tree = build_rectangle(3, dsz, 8, 1.0 / dsz, np.zeros(3))
         solver = MGSolver(tree, MGConfig(operator="laplacian",
-                                         pallas_smoother=use_pallas))
+                                         experimental=MGExperimental(pallas_smoother=use_pallas)))
         state = solver.allocate()
         top = solver.levels[-1]
         rng = np.random.default_rng(21)
