@@ -17,9 +17,12 @@ Coarse levels below ``first_normal_lvl`` are all assigned one rank
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
-from .tree import Tree
+from .tree import Tree, set_leaves_parents, set_next_level_ids, \
+    set_refinement_boundaries
 
 
 def _most_popular(ranks: np.ndarray, work: np.ndarray) -> int:
@@ -118,3 +121,71 @@ def load_balance_parents(tree: Tree, n_ranks: int) -> None:
         coarse_rank = 0
     for lvl in range(tree.lowest_lvl, scl + 1):
         tree.rank[tree.lvls[lvl].ids] = coarse_rank
+
+# ---------------------------------------------------------------------------
+# placement realization
+# ---------------------------------------------------------------------------
+#
+# On TPU the box axis of each level array is sharded in equal positional
+# chunks (parallel/sharding.py), so "where a box lives" is decided by its
+# POSITION in the level's id list.  The reference instead writes
+# mg%boxes(id)%rank and allocates payload only locally
+# (m_load_balance.f90:71-136, m_allocate_storage.f90:68-78).  The bridge:
+# re-order every level's id list by the computed rank assignment
+# (stable, so Morton order survives within a rank), then equal chunks
+# ARE the chosen policy.  The tree builder's transfer invariant — a
+# level's ids are the concatenation of its parents' children in order
+# (m_build_tree.f90:187-216) — is preserved by sorting the *parents*
+# list of each level and regenerating the finer level from it: children
+# of one parent move as a group, carrying their parent's rank (which
+# load_balance sets to the most popular child rank).
+
+
+def realize_ranks(tree: Tree) -> None:
+    """Re-order every level's id lists so that equal positional chunks
+    of the box axis realize ``tree.rank`` (stable within a rank)."""
+    t = tree
+    for lvl in range(t.lowest_lvl, t.highest_lvl + 1):
+        if lvl == t.lowest_lvl:
+            ids = t.lvls[lvl].ids
+            order = np.argsort(t.rank[ids], kind="stable")
+            t.lvls[lvl].ids = ids[order]
+        else:
+            # regenerate from the rank-sorted coarse parents, keeping
+            # the children-consecutive transfer invariant
+            set_next_level_ids(t, lvl - 1)
+        set_leaves_parents(t, lvl)
+        p = t.lvls[lvl].parents
+        if len(p):
+            t.lvls[lvl].parents = p[np.argsort(t.rank[p], kind="stable")]
+    # refinement-boundary lists follow the leaves order; refresh
+    for lvl in range(t.lowest_lvl, t.highest_lvl + 1):
+        if len(t.lvls[lvl].parents) and len(t.lvls[lvl].leaves):
+            set_refinement_boundaries(t, lvl)
+
+
+def apply_load_balance(tree: Tree, n_ranks: int, policy: str = "balance",
+                       leaf_ranks: Optional[dict] = None) -> None:
+    """Assign ranks by ``policy`` and realize them as level ordering.
+
+    policy: "simple" (equal Morton chunks, m_load_balance.f90:22-63),
+    "balance" (leaves balanced, parents on the most popular child rank,
+    :71-136), or "parents" (externally fixed leaf ranks — the AMRVAC
+    coupling mode, :140-193; consumed at
+    coupling_amrvac/mod_multigrid_coupling.t:310,331).
+
+    leaf_ranks (policy="parents"): {box_id: rank} for every leaf; when
+    omitted the current ``tree.rank`` entries of leaves are kept.
+    """
+    if policy == "simple":
+        load_balance_simple(tree, n_ranks)
+    elif policy == "balance":
+        load_balance(tree, n_ranks)
+    elif policy == "parents":
+        if leaf_ranks is not None:
+            for b, r in leaf_ranks.items():
+                tree.rank[int(b)] = int(r)
+        load_balance_parents(tree, n_ranks)
+    else:
+        raise ValueError(f"unknown load-balance policy '{policy}'")
+    realize_ranks(tree)

