@@ -24,6 +24,7 @@ from .solve.dense import DenseMGSolver, dense_supported, make_solver
 from .solve.dense2d import Dense2DMGSolver, dense2d_supported
 from .solve.dense_amr import DenseAMRMGSolver, dense_amr_supported
 from .solve.dense_amr2d import Dense2DAMRMGSolver, dense_amr2d_supported
+from .solve.dense_forest import DenseForestMGSolver, dense_forest_supported
 
 __all__ = [
     "BCType", "Geometry", "Operator", "Smoother",
@@ -36,6 +37,7 @@ __all__ = [
     "Dense2DMGSolver", "dense2d_supported",
     "DenseAMRMGSolver", "dense_amr_supported",
     "Dense2DAMRMGSolver", "dense_amr2d_supported",
+    "DenseForestMGSolver", "dense_forest_supported",
 ]
 
 __version__ = "0.1.0"

@@ -781,6 +781,34 @@ def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
                         hz=2 * n_pairs, eps=eps)
 
 
+def half_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
+                     parity: int, z_gates=None, eps=()):
+    """ONE GSRB half-sweep: update cells with (gx+gy+gz)%2 == parity.
+
+    The dense-forest AMR path runs at half-sweep granularity because its
+    cross-patch ghosts (refinement rings written into the canvas and the
+    per-face ghost planes) must be recomputed between half-sweeps — the
+    reference's refill cadence (smooth_boxes, m_multigrid.f90:404-424).
+    Arithmetic per updated cell is identical to pair_sweep_dense's red
+    half, so two half_sweep calls with a pad/ghost refresh in between ==
+    one pair."""
+    if not cfg.use_kernel:
+        g = _full_iotas(cfg)
+        masks = _face_masks(cfg, g, z_gates)
+        upd = _parity_mask(g, parity)
+        bpw = _bpw_full(cfg, bplanes)
+        return _halfsweep(cfg, phi, rhs, lam, masks, upd, True, bpw,
+                          True, eps)
+
+    def body(p, r, lam_s, masks, g, bpw, epw):
+        upd = _parity_mask(g, parity)
+        return _halfsweep(cfg, p, r, lam_s, masks, upd, True, bpw,
+                          cfg.interpret, epw)
+
+    return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz=1,
+                        eps=eps)
+
+
 def downsweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
                     red_parity: int, z_gates=None, n_pairs: int = 2,
                     eps=()):

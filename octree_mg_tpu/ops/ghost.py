@@ -52,14 +52,14 @@ def interp_rb_strip(tmp: jnp.ndarray, ndim: int) -> jnp.ndarray:
     g_lo = 0.125 * (tmp[:, 1:-1, 2:] - tmp[:, 1:-1, :-2])
     g_hi = 0.125 * (tmp[:, 2:, 1:-1] - tmp[:, :-2, 1:-1])
     m = tmp.shape[0]
-    h = mid.shape[-1]
 
     def ilv_last(a, b):  # interleave along last axis
         return jnp.stack([a, b], axis=-1).reshape(*a.shape[:-1], 2 * a.shape[-1])
 
     row_lo = ilv_last(mid - g_lo - g_hi, mid + g_lo - g_hi)  # hi even
     row_hi = ilv_last(mid - g_lo + g_hi, mid + g_lo + g_hi)  # hi odd
-    out = jnp.stack([row_lo, row_hi], axis=2).reshape(m, 2 * h, 2 * h)
+    out = jnp.stack([row_lo, row_hi], axis=2).reshape(
+        m, 2 * mid.shape[1], 2 * mid.shape[2])
     return out
 
 

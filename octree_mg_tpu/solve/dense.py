@@ -80,6 +80,9 @@ def make_solver(tree: Tree, config: Optional[MGConfig] = None):
     from .dense_amr2d import Dense2DAMRMGSolver, dense_amr2d_supported
     if dense_amr2d_supported(tree, cfg):
         return Dense2DAMRMGSolver(tree, cfg)
+    from .dense_forest import DenseForestMGSolver, dense_forest_supported
+    if dense_forest_supported(tree, cfg):
+        return DenseForestMGSolver(tree, cfg)
     return MGSolver(tree, cfg)
 
 

@@ -1,0 +1,966 @@
+"""Dense-forest FAS multigrid: ARBITRARY quadtree/octree forests on the
+dense fast path.
+
+The reference runs any 2:1-balanced octree at one speed — its ghost
+machinery handles same-level, refinement-boundary and physical faces per
+box (m_ghost_cells.f90:131-285, 769-861).  The rectangular dense-AMR
+solver here (solve/dense_amr.py) covers only levels whose boxes tile a
+rectangle; everything else used to fall back to the boxed solver at
+~2.3e7 leaf-unknowns/s.  This solver removes that cliff:
+
+* Each refinement level is stored as ONE dense padded array over the
+  *bounding box* of its leaf footprint (the "canvas").  Cells outside
+  the footprint are garbage by contract: they start at zero, evolve
+  under the homogeneous smoother, and are fenced off from real cells by
+  a one-cell ghost ring that is rewritten before every half-sweep.
+* The footprint is decomposed host-side into a few axis-aligned
+  rectangles (greedy box-merge); every transfer/reduction touches only
+  those rectangles.
+* All ghost values — refinement-boundary (sides_rb: 0.5*interp +
+  0.75*x1 - 0.25*x2, m_ghost_cells.f90:769-861), physical (bc_to_gc:
+  c0*b + c1*x1 + c2*x2, :665-766) and periodic wraps — are computed in
+  plain XLA as 2D rectangle writes: ghosts *inside* the canvas go into
+  the ring cells, ghosts on the canvas boundary are assembled into the
+  six face planes which the stencil kernels consume with the identity
+  coefficients (1, 0, 0).
+* Smoothing runs at HALF-SWEEP granularity (dense_kernels.
+  half_sweep_dense): the ring/planes are refreshed between half-sweeps,
+  which is exactly the reference's per-substep refill cadence
+  (smooth_boxes, m_multigrid.f90:404-424), so every phase is
+  bit-identical to the boxed solver (tests/test_dense_forest.py).
+
+Periodic exteriors are supported (including refinement levels that end
+inside a periodic domain: their exterior ghosts interpolate from the
+wrapped coarse cells).  Gating (``dense_forest_supported``): 3D
+cartesian laplacian/helmholtz, GSRB, 2:1-balanced forest, footprint
+filling >= MIN_FILL of each canvas.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import NO_BOX
+from ..core.tree import Tree
+from ..ops import dense_kernels as dk
+from ..ops.ghost import interp_rb_strip
+from .dense import DenseMGSolver, _ISL
+from .dense_amr import RB_COEFFS
+from .multigrid import MGConfig
+
+
+# ---------------------------------------------------------------------------
+# host-side geometry
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _Seg:
+    """One rectangular ghost segment of a level canvas.
+
+    lo/hi: half-open cell rectangle in canvas-local coords (x, y, z);
+    along the face-normal dim d=nb//2 it is one cell thick (the ghost
+    layer).  sink "ring" = inside the canvas, "face" = one of the six
+    face planes.  kind "phys" (bc_to_gc), "rb" (sides_rb w/ coarse
+    interp), "wrap" (periodic same-level copy).  For "wrap", src is the
+    normal cell index of the source layer; for "rb", cg is the GLOBAL
+    coarse normal cell index of the interp strip layer."""
+
+    nb: int
+    kind: str
+    sink: str
+    lo: np.ndarray
+    hi: np.ndarray
+    src: int = 0
+    cg: int = 0
+
+
+def _mask_rects_2d(mask: np.ndarray) -> List[Tuple[int, int, int, int]]:
+    """Greedy decomposition of a 2D boolean mask into rectangles
+    (a0, a1, b0, b1), half-open."""
+    m = mask.copy()
+    out = []
+    A, B = m.shape
+    for a in range(A):
+        b = 0
+        while b < B:
+            if not m[a, b]:
+                b += 1
+                continue
+            b1 = b
+            while b1 + 1 < B and m[a, b1 + 1]:
+                b1 += 1
+            a1 = a
+            while a1 + 1 < A and m[a1 + 1, b:b1 + 1].all():
+                a1 += 1
+            out.append((a, a1 + 1, b, b1 + 1))
+            m[a:a1 + 1, b:b1 + 1] = False
+            b = b1 + 1
+    return out
+
+
+def _greedy_rects_3d(occ: np.ndarray) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Greedy decomposition of a 3D boolean occupancy [BX, BY, BZ] into
+    boxes ((x0,y0,z0), (x1,y1,z1)), half-open."""
+    m = occ.copy()
+    out = []
+    while m.any():
+        x, y, z = np.argwhere(m)[0]
+        x1 = x
+        while x1 + 1 < m.shape[0] and m[x1 + 1, y, z]:
+            x1 += 1
+        y1 = y
+        while y1 + 1 < m.shape[1] and m[x:x1 + 1, y1 + 1, z].all():
+            y1 += 1
+        z1 = z
+        while z1 + 1 < m.shape[2] and m[x:x1 + 1, y:y1 + 1, z1 + 1].all():
+            z1 += 1
+        out.append((np.array([x, y, z]), np.array([x1 + 1, y1 + 1, z1 + 1])))
+        m[x:x1 + 1, y:y1 + 1, z:z1 + 1] = False
+    return out
+
+
+class _LevelGeom:
+    """Canvas geometry of one refinement level."""
+
+    def __init__(self, tree: Tree, lvl: int):
+        self.lvl = lvl
+        self.nc = nc = tree.box_size_lvl[lvl]
+        ids = tree.lvls[lvl].ids
+        ix = tree.ix[ids] - 1                     # [n, 3] 0-based box coords
+        self.box_lo = ix.min(axis=0)              # canvas origin, box units
+        box_hi = ix.max(axis=0) + 1
+        self.B = box_hi - self.box_lo             # canvas extent, box units
+        self.off = self.box_lo * nc               # cell offset (x, y, z)
+        self.dims = tuple(int(v) for v in self.B * nc)
+        self.dom_box = tree.domain_size_lvl[lvl] // nc
+        self.dom_cells = np.asarray(tree.domain_size_lvl[lvl])
+        occ = np.zeros(tuple(self.B), dtype=bool)
+        loc = ix - self.box_lo
+        occ[loc[:, 0], loc[:, 1], loc[:, 2]] = True
+        self.occ = occ
+        self.full = bool(occ.all() and np.all(self.B == self.dom_box))
+        # footprint rectangles in canvas-local cells
+        self.rects = [(lo * nc, hi * nc) for lo, hi in _greedy_rects_3d(occ)]
+        self.n_cells = int(occ.sum()) * nc ** 3
+
+    def build_segments(self, periodic) -> List[_Seg]:
+        """Classify and merge the footprint's ghost faces."""
+        segs: List[_Seg] = []
+        nc = self.nc
+        occ = self.occ
+        B = self.B
+        dom = self.dom_box
+        for nb in range(6):
+            d = nb // 2
+            sgn = -1 if nb % 2 == 0 else +1
+            # grouped masks keyed by (kind, normal box layer, src/cg)
+            groups: Dict[Tuple, np.ndarray] = {}
+            tdims = [dd for dd in range(3) if dd != d]
+            for p in np.argwhere(occ):
+                q = p.copy()
+                q[d] += sgn
+                qg = q + self.box_lo              # global box coords
+                inside_canvas = 0 <= q[d] < B[d]
+                if inside_canvas and occ[tuple(q)]:
+                    continue                      # direct same-level neighbor
+                if 0 <= qg[d] < dom[d]:
+                    kind, aux = "rb", 0
+                elif periodic[d]:
+                    qw = qg.copy()
+                    qw[d] %= dom[d]
+                    ql = qw - self.box_lo
+                    if (0 <= ql[d] < B[d]) and occ[tuple(ql)]:
+                        kind, aux = "wrap", 0
+                    else:
+                        kind, aux = "rb", 0
+                else:
+                    kind, aux = "phys", 0
+                key = (kind, int(q[d]), aux)
+                tshape = tuple(int(B[dd]) for dd in tdims)
+                groups.setdefault(key, np.zeros(tshape, dtype=bool))[
+                    tuple(int(p[dd]) for dd in tdims)] = True
+            for (kind, qd, aux), mask in groups.items():
+                inside = 0 <= qd < B[d]
+                if inside:
+                    sink = "ring"
+                    # ghost layer: the q-box cell adjacent to p's face
+                    g = qd * nc + (nc - 1 if sgn < 0 else 0)
+                else:
+                    sink = "face"
+                    g = -1 if sgn < 0 else self.dims[d]
+                g_glob = self.off[d] + g
+                src = cg = 0
+                if kind == "wrap":
+                    src = int((g_glob % self.dom_cells[d]) - self.off[d])
+                if kind == "rb":
+                    cg = int((g_glob % self.dom_cells[d]) // 2) \
+                        if periodic[d] else g_glob // 2
+                for a0, a1, b0, b1 in _mask_rects_2d(mask):
+                    lo = np.zeros(3, np.int64)
+                    hi = np.zeros(3, np.int64)
+                    lo[d], hi[d] = g, g + 1
+                    lo[tdims[0]], hi[tdims[0]] = a0 * nc, a1 * nc
+                    lo[tdims[1]], hi[tdims[1]] = b0 * nc, b1 * nc
+                    segs.append(_Seg(nb=nb, kind=kind, sink=sink,
+                                     lo=lo, hi=hi, src=src, cg=cg))
+        return segs
+
+
+@dataclasses.dataclass
+class _Fix:
+    """One fix-up rectangle of footprint cells whose bulk-pass result
+    used a clobbered (conflicted) ring ghost: the smoother/operator is
+    recomputed on these cells with direction-correct ghost values —
+    the same per-cell expression as the bulk pass, so results are
+    bitwise what the bulk would produce with per-box ghost storage
+    (the reference's layout, m_ghost_cells.f90:232-285)."""
+
+    lo: np.ndarray
+    hi: np.ndarray
+    upd0: np.ndarray          # parity-0 update mask [z, y, x]
+    dirs: List[Dict]          # per dd 0..5: neighbor source plan
+
+
+def _build_conflict_plan(segs: List[_Seg], dims) -> Optional[List[_Fix]]:
+    """Host-side plan of concave-corner ghost conflicts for one level.
+
+    Ring segments of different axes can claim the same garbage cell;
+    the canvas keeps only the last write.  For every pairwise overlap,
+    both segments' served footprint cells (the overlap shifted one cell
+    toward the footprint) are re-listed for fix-up with all six
+    neighbor values assembled from the correct sources."""
+    ring = [(i, s) for i, s in enumerate(segs) if s.sink == "ring"]
+    rects = set()
+    for a in range(len(ring)):
+        for b in range(a + 1, len(ring)):
+            si, sj = ring[a][1], ring[b][1]
+            lo = np.maximum(si.lo, sj.lo)
+            hi = np.minimum(si.hi, sj.hi)
+            if not np.all(lo < hi):
+                continue
+            for s in (si, sj):
+                d = s.nb // 2
+                sgn = -1 if s.nb % 2 == 0 else 1
+                rlo, rhi = lo.copy(), hi.copy()
+                rlo[d] -= sgn
+                rhi[d] -= sgn
+                rects.add((tuple(rlo), tuple(rhi)))
+    if not rects:
+        return None
+    plan = []
+    for rlo_t, rhi_t in sorted(rects):
+        rlo = np.array(rlo_t, np.int64)
+        rhi = np.array(rhi_t, np.int64)
+        gz = np.arange(rlo[2], rhi[2]).reshape(-1, 1, 1)
+        gy = np.arange(rlo[1], rhi[1]).reshape(1, -1, 1)
+        gx = np.arange(rlo[0], rhi[0]).reshape(1, 1, -1)
+        upd0 = ((gy + gx) % 2 == gz % 2)  # red parity 0 (3D dense path)
+        dirs = []
+        for dd in range(6):
+            d = dd // 2
+            step = -1 if dd % 2 == 0 else 1
+            nlo, nhi = rlo.copy(), rhi.copy()
+            nlo[d] += step
+            nhi[d] += step
+            # clip the (at most one) out-of-canvas layer to face planes
+            out_side = None
+            ilo, ihi = nlo.copy(), nhi.copy()
+            if nlo[d] < 0:
+                out_side = "lo"
+                ilo[d] = 0
+            if nhi[d] > dims[d]:
+                out_side = "hi"
+                ihi[d] = dims[d]
+            overlays = []
+            for i, s in ring:
+                if s.nb != dd:
+                    continue
+                olo = np.maximum(ilo, s.lo)
+                ohi = np.minimum(ihi, s.hi)
+                if np.all(olo < ohi):
+                    overlays.append((i, olo, ohi))
+            dirs.append({"nlo": nlo, "nhi": nhi, "ilo": ilo, "ihi": ihi,
+                         "out_side": out_side, "overlays": overlays})
+        plan.append(_Fix(lo=rlo, hi=rhi, upd0=upd0, dirs=dirs))
+    return plan
+
+
+def _forest_balanced(tree: Tree) -> bool:
+    """2:1 balance: every missing same-level neighbor must have a coarse
+    one (the reference ghost scheme handles one-level jumps only)."""
+    for lvl in range(tree.lowest_lvl + 1, tree.highest_lvl + 1):
+        for b in tree.lvls[lvl].ids:
+            for nb in range(6):
+                if tree.neighbors[int(b), nb] == NO_BOX:
+                    p = int(tree.parent[int(b)])
+                    if tree.neighbors[p, nb] <= NO_BOX:
+                        return False
+    return True
+
+
+def dense_forest_supported(tree: Tree, cfg: MGConfig,
+                           min_fill: float = 0.2) -> bool:
+    """Whether the dense-forest path covers this configuration."""
+    if not (tree.ndim == 3
+            and tree.highest_lvl > 1
+            and cfg.operator in ("laplacian", "helmholtz")
+            and cfg.geometry == "cartesian"
+            and cfg.smoother in ("gsrb", "gs")):
+        return False
+    if not _forest_balanced(tree):
+        return False
+    for lvl in range(tree.lowest_lvl, tree.highest_lvl + 1):
+        if len(tree.lvls[lvl].ids) == 0:
+            return False
+        g = _LevelGeom(tree, lvl)
+        if g.n_cells < min_fill * int(np.prod(g.dims)):
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# solver
+# ---------------------------------------------------------------------------
+
+class DenseForestMGSolver(DenseMGSolver):
+    """FAS multigrid on dense level canvases over arbitrary forests."""
+
+    _supported = staticmethod(dense_forest_supported)
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+    def _build_levels(self):
+        t = self.tree
+        all_lvls = list(range(t.lowest_lvl, t.highest_lvl + 1))
+        self.geom: Dict[int, _LevelGeom] = {
+            lvl: _LevelGeom(t, lvl) for lvl in all_lvls}
+        self.dims = {lvl: self.geom[lvl].dims for lvl in all_lvls}
+        self.offsets = {lvl: self.geom[lvl].off for lvl in all_lvls}
+        if self.coarse_solver == "direct":
+            direct = None
+            for lvl in all_lvls:
+                if (self.geom[lvl].full
+                        and int(np.prod(self.dims[lvl]))
+                        <= self.DIRECT_MAX_CELLS):
+                    direct = lvl
+            if direct is None:
+                direct = all_lvls[0]
+            self.levels = [l for l in all_lvls if l >= direct]
+        else:
+            self.levels = all_lvls
+        per = tuple(bool(p) for p in t.periodic)
+        self.segs: Dict[int, List[_Seg]] = {
+            lvl: self.geom[lvl].build_segments(per)
+            for lvl in self.levels}
+        #: concave-corner ghost-conflict fix-up plans (None = conflict
+        #: free: rectangular footprints, isolated patches, full levels)
+        self.conflicts: Dict[int, Optional[List[_Fix]]] = {
+            lvl: _build_conflict_plan(self.segs[lvl], self.dims[lvl])
+            for lvl in self.levels}
+
+    def _kcfg(self, lvl: int) -> dk.DenseStencilConfig:
+        """Every face is a precomputed ghost plane with identity
+        coefficients: the plane carries the already-synthesized ghost
+        values (phys/rb/wrap per 2D segment), refreshed between
+        half-sweeps by the driver."""
+        t = self.tree
+        idr2 = tuple(float(x) for x in 1.0 / t.dr[lvl] ** 2)
+        return dk.DenseStencilConfig(
+            dims=self.dims[lvl], idr2=idr2,
+            bc=[(1.0, 0.0, 0.0)] * 6,
+            periodic=(False, False, False), dtype=self.cfg.dtype,
+            b_const=[None] * 6, interpret=self.interpret,
+            n_eps=self.n_eps)
+
+    def _sync_pads(self, arr, lvl):
+        # periodic wraps ride the face planes / wrap segments; the pads
+        # stay garbage-by-contract
+        return arr
+
+    def cell_centers(self, lvl: int) -> np.ndarray:
+        """Canvas cell centers [Z, Y, X, 3] in global coordinates
+        (non-footprint cells get coordinates too — harmless)."""
+        t = self.tree
+        X, Y, Z = self.dims[lvl]
+        dr = t.dr[lvl]
+        off = self.offsets[lvl]
+        out = np.zeros((Z, Y, X, 3))
+        for d, sl in ((0, (None, None, slice(None))),
+                      (1, (None, slice(None), None)),
+                      (2, (slice(None), None, None))):
+            c = t.r_min[d] + (off[d] + np.arange(self.dims[lvl][d]) + 0.5) \
+                * dr[d]
+            out[..., d] = c[sl]
+        return out
+
+    def footprint_mask(self, lvl: int) -> np.ndarray:
+        """Boolean [Z, Y, X] mask of real (leaf-footprint) cells."""
+        X, Y, Z = self.dims[lvl]
+        m = np.zeros((Z, Y, X), dtype=bool)
+        for lo, hi in self.geom[lvl].rects:
+            m[lo[2]:hi[2], lo[1]:hi[1], lo[0]:hi[0]] = True
+        return m
+
+    def _eval_bc_planes(self, lvl: int) -> List[jnp.ndarray]:
+        """RAW boundary values b per face, unpadded [face shape] (zeros
+        off the physical segments); the ghost synthesis happens in the
+        traced plane assembly."""
+        t = self.tree
+        X, Y, Z = self.dims[lvl]
+        dr = t.dr[lvl]
+        r0g = t.r_min
+        off = self.offsets[lvl]
+        dt = self.cfg.dtype
+        cx = r0g[0] + (off[0] + np.arange(X) + 0.5) * dr[0]
+        cy = r0g[1] + (off[1] + np.arange(Y) + 0.5) * dr[1]
+        cz = r0g[2] + (off[2] + np.arange(Z) + 0.5) * dr[2]
+        lo_face = [r0g[d] + off[d] * dr[d] for d in range(3)]
+        hi_face = [r0g[d] + (off[d] + self.dims[lvl][d]) * dr[d]
+                   for d in range(3)]
+        out = []
+        for nbd in range(6):
+            d = nbd // 2
+            shape = {(0): (Z, Y), 1: (Z, X), 2: (Y, X)}[d]
+            spec = self.bc_spec[nbd]
+            if spec["fn"] is None:
+                vals = np.full(shape, spec["value"], dtype=np.float64)
+            else:
+                coords = np.zeros(shape + (3,))
+                if d == 0:
+                    coords[..., 0] = lo_face[0] if nbd % 2 == 0 else hi_face[0]
+                    coords[..., 1] = cy[None, :]
+                    coords[..., 2] = cz[:, None]
+                elif d == 1:
+                    coords[..., 1] = lo_face[1] if nbd % 2 == 0 else hi_face[1]
+                    coords[..., 0] = cx[None, :]
+                    coords[..., 2] = cz[:, None]
+                else:
+                    coords[..., 2] = lo_face[2] if nbd % 2 == 0 else hi_face[2]
+                    coords[..., 0] = cx[None, :]
+                    coords[..., 1] = cy[:, None]
+                vals = np.asarray(spec["fn"](coords))
+            out.append(jnp.asarray(vals, dt))
+        return out
+
+    # ------------------------------------------------------------------
+    # ghost machinery (traced)
+    # ------------------------------------------------------------------
+    def _cansl(self, lo, hi):
+        """Padded-canvas slice of a canvas-local cell rectangle."""
+        return (slice(dk.PZ + int(lo[2]), dk.PZ + int(hi[2])),
+                slice(dk.PY + int(lo[1]), dk.PY + int(hi[1])),
+                slice(int(lo[0]), int(hi[0])))
+
+    def _seg_x12(self, canvas, seg):
+        """(x1, x2) interior planes adjacent to a ghost segment (2D,
+        squeezed along the normal)."""
+        d = seg.nb // 2
+        step = 1 if seg.nb % 2 == 0 else -1  # towards the footprint
+        lo1 = seg.lo.copy()
+        hi1 = seg.hi.copy()
+        lo1[d] += step
+        hi1[d] += step
+        lo2 = lo1.copy()
+        hi2 = hi1.copy()
+        lo2[d] += step
+        hi2[d] += step
+        ax = 2 - d
+        x1 = jnp.squeeze(canvas[self._cansl(lo1, hi1)], axis=ax)
+        x2 = jnp.squeeze(canvas[self._cansl(lo2, hi2)], axis=ax)
+        return x1, x2
+
+    def _rb_cache(self, state, lvl, key) -> Dict[int, jnp.ndarray]:
+        """Coarse-side interpolation planes b per rb segment
+        (box_gc_for_fine_neighbor: strip + ±0.125 transverse gradients,
+        m_ghost_cells.f90:500-577).  Constant while the coarse level is
+        frozen — computed once per phase."""
+        segs = [s for s in self.segs[lvl] if s.kind == "rb"]
+        if not segs:
+            return {}
+        bc_c = self._rb_cache(state, lvl - 1, key)
+        # ±1 transverse strip reads are per-axis ghost reads of the
+        # coarse neighbor box (m_ghost_cells.f90:557-576); at conflicted
+        # ring cells only the axis-preferenced ext carries the right
+        # value for that read direction
+        need = self.conflicts.get(lvl - 1) is not None
+        if need:
+            ext_ax = {a: self._ext(state, lvl - 1, key, bcache=bc_c,
+                                   prefer=a) for a in range(3)}
+            ext = ext_ax[0]
+        else:
+            ext = self._ext(state, lvl - 1, key, bcache=bc_c)
+        off_c = self.offsets[lvl - 1]
+        off_f = self.offsets[lvl]
+        out = {}
+        for i, seg in enumerate(self.segs[lvl]):
+            if seg.kind != "rb":
+                continue
+            d = seg.nb // 2
+            sl: List = [0, 0, 0]
+            # normal: global coarse layer -> ext index (+1 ghost ring)
+            sl[2 - d] = seg.cg - int(off_c[d]) + 1
+            for dd in range(3):
+                if dd == d:
+                    continue
+                c0 = (int(off_f[dd]) + int(seg.lo[dd])) // 2 - int(off_c[dd])
+                c1 = (int(off_f[dd]) + int(seg.hi[dd])) // 2 - int(off_c[dd])
+                sl[2 - dd] = slice(c0, c1 + 2)  # ext coords: ±1 ring
+            tmp = ext[tuple(sl)]                # [t_hi+2, t_lo+2]
+            if need:
+                t_lo, t_hi = [dd for dd in range(3) if dd != d]
+                e_hi = ext_ax[t_hi][tuple(sl)]
+                e_lo = ext_ax[t_lo][tuple(sl)]
+                tmp = tmp.at[0, :].set(e_hi[0, :]).at[-1, :].set(
+                    e_hi[-1, :])
+                tmp = tmp.at[:, 0].set(e_lo[:, 0]).at[:, -1].set(
+                    e_lo[:, -1])
+            out[i] = interp_rb_strip(tmp[None], 3)[0]
+        return out
+
+    def _ring_values(self, canvas, bplanes_raw, bcache, lvl
+                     ) -> Dict[int, jnp.ndarray]:
+        """Synthesized ghost values per ring segment (3D, seg-rect
+        shaped), computed from the pre-sweep canvas.  Kept separate from
+        the canvas write so concave-corner conflicts (two axes claiming
+        one garbage cell — impossible in the reference's per-box ghost
+        storage) can be resolved exactly by the fix-up passes."""
+        bc_phys = self._bc_static(lvl)
+        out = {}
+        for i, seg in enumerate(self.segs[lvl]):
+            if seg.sink != "ring":
+                continue
+            d = seg.nb // 2
+            ax = 2 - d
+            if seg.kind == "wrap":
+                lo = seg.lo.copy()
+                hi = seg.hi.copy()
+                lo[d] = seg.src
+                hi[d] = seg.src + 1
+                vals = canvas[self._cansl(lo, hi)]
+            else:
+                x1, x2 = self._seg_x12(canvas, seg)
+                if seg.kind == "rb":
+                    c0, c1, c2 = RB_COEFFS
+                    b = bcache[i]
+                else:
+                    c0, c1, c2 = bc_phys[seg.nb]
+                    b = self._seg_bwin(bplanes_raw, seg)
+                vals = c0 * b + c1 * x1
+                if c2 != 0.0:
+                    vals = vals + c2 * x2
+                vals = jnp.expand_dims(vals, ax)
+            out[i] = vals
+        return out
+
+    def _write_ring(self, canvas, vals, lvl, prefer: Optional[int] = None):
+        """Write the ring ghost values into the canvas (refreshed before
+        every half-sweep — the reference refills ghosts after every
+        substep, m_multigrid.f90:412-423).
+
+        prefer: optional axis whose segments are written LAST, so at
+        conflicted cells the canvas carries that axis's ghost (used by
+        consumers that read ghosts along one known axis)."""
+        items = [(i, s) for i, s in enumerate(self.segs[lvl])
+                 if s.sink == "ring"]
+        if prefer is not None:
+            items.sort(key=lambda t: t[1].nb // 2 == prefer)
+        for i, seg in items:
+            canvas = canvas.at[self._cansl(seg.lo, seg.hi)].set(vals[i])
+        return canvas
+
+    def _seg_bwin(self, bplanes_raw, seg):
+        """Window of the raw physical boundary-value plane for a seg."""
+        d = seg.nb // 2
+        tdims = [dd for dd in range(3) if dd != d]
+        sl = []
+        for dd in reversed(tdims):  # slow -> fast plane axes
+            sl.append(slice(int(seg.lo[dd]), int(seg.hi[dd])))
+        return bplanes_raw[seg.nb][tuple(sl)]
+
+    # ------------------------------------------------------------------
+    # concave-corner conflict fix-ups
+    # ------------------------------------------------------------------
+    def _plane_win(self, planes, dd, lo, hi):
+        """Window of an assembled (padded) face plane over a rect's
+        transverse extent, expanded to 3D [z, y, x] with normal size 1.
+        The bulk pass reads these cells as ghost = 1.0*plane + 0.0*x1,
+        which is bitwise the plane value."""
+        d = dd // 2
+        if d == 0:
+            w = planes[dd][dk.PZ + int(lo[2]):dk.PZ + int(hi[2]),
+                           dk.PY + int(lo[1]):dk.PY + int(hi[1])]
+            return w[:, :, None]
+        if d == 1:
+            w = planes[dd][dk.PZ + int(lo[2]):dk.PZ + int(hi[2]),
+                           int(lo[0]):int(hi[0])]
+            return w[:, None, :]
+        w = planes[dd][dk.PY + int(lo[1]):dk.PY + int(hi[1]),
+                       int(lo[0]):int(hi[0])]
+        return w[None, :, :]
+
+    def _nb_vals(self, lvl, canvas, vals, planes, dd, ent):
+        """Direction-dd neighbor values of a fix rect: canvas cells,
+        with ring segments serving THIS direction overlaid (correct
+        regardless of which axis won the canvas write), and face-plane
+        values for the out-of-canvas layer."""
+        d = dd // 2
+        ax = 2 - d
+        vin = None
+        ilo, ihi = ent["ilo"], ent["ihi"]
+        if np.all(ilo < ihi):
+            vin = canvas[self._cansl(ilo, ihi)]
+            for i, olo, ohi in ent["overlays"]:
+                seg = self.segs[lvl][i]
+                src = vals[i][
+                    slice(int(olo[2] - seg.lo[2]), int(ohi[2] - seg.lo[2])),
+                    slice(int(olo[1] - seg.lo[1]), int(ohi[1] - seg.lo[1])),
+                    slice(int(olo[0] - seg.lo[0]), int(ohi[0] - seg.lo[0]))]
+                dst = (slice(int(olo[2] - ilo[2]), int(ohi[2] - ilo[2])),
+                       slice(int(olo[1] - ilo[1]), int(ohi[1] - ilo[1])),
+                       slice(int(olo[0] - ilo[0]), int(ohi[0] - ilo[0])))
+                vin = vin.at[dst].set(src)
+        if ent["out_side"] is None:
+            return vin
+        vout = self._plane_win(planes, dd, ent["nlo"], ent["nhi"])
+        if vin is None:
+            return vout
+        if ent["out_side"] == "lo":
+            return jnp.concatenate([vout, vin], axis=ax)
+        return jnp.concatenate([vin, vout], axis=ax)
+
+    def _fix_sweep(self, lvl, swept, canvas, vals, planes, rhs, lam,
+                   parity):
+        """Recompute the GSRB update on the conflict rects with correct
+        ghosts — same expression tree as dense_kernels._halfsweep, so
+        the result is bitwise the conflict-free value."""
+        cfg = self._kcfgs[lvl]
+        for fix in self.conflicts[lvl]:
+            rsl = self._cansl(fix.lo, fix.hi)
+            acc = -rhs[rsl]
+            for d in range(3):
+                lo_v = self._nb_vals(lvl, canvas, vals, planes, 2 * d,
+                                     fix.dirs[2 * d])
+                hi_v = self._nb_vals(lvl, canvas, vals, planes, 2 * d + 1,
+                                     fix.dirs[2 * d + 1])
+                acc = acc + cfg.idr2[d] * (lo_v + hi_v)
+            new = acc * (1.0 / (cfg.den0 + lam))
+            upd = fix.upd0 if parity == 0 else ~fix.upd0
+            swept = swept.at[rsl].set(
+                jnp.where(jnp.asarray(upd), new, swept[rsl]))
+        return swept
+
+    def _fix_apply(self, lvl, out, canvas, vals, planes, rhs, lam,
+                   residual):
+        """Recompute A(phi) (or rhs - A(phi)) on the conflict rects —
+        same expression tree as dense_kernels._apply_expr."""
+        cfg = self._kcfgs[lvl]
+        for fix in self.conflicts[lvl]:
+            rsl = self._cansl(fix.lo, fix.hi)
+            p = canvas[rsl]
+            o = -lam * p
+            for d in range(3):
+                lo_v = self._nb_vals(lvl, canvas, vals, planes, 2 * d,
+                                     fix.dirs[2 * d])
+                hi_v = self._nb_vals(lvl, canvas, vals, planes, 2 * d + 1,
+                                     fix.dirs[2 * d + 1])
+                o = o + cfg.idr2[d] * (lo_v + hi_v - 2.0 * p)
+            if residual:
+                o = rhs[rsl] - o
+            out = out.at[rsl].set(o)
+        return out
+
+    def _face_planes(self, canvas, bplanes_raw, bcache, lvl):
+        """Assemble the six ghost planes consumed by the kernels with
+        (1,0,0) coefficients.  Uncovered positions stay zero (they abut
+        garbage cells only)."""
+        X, Y, Z = self.dims[lvl]
+        dt = self.cfg.dtype
+        shapes = [(Z, Y), (Z, Y), (Z, X), (Z, X), (Y, X), (Y, X)]
+        planes = [jnp.zeros(s, dt) for s in shapes]
+        bc_phys = self._bc_static(lvl)
+        for i, seg in enumerate(self.segs[lvl]):
+            if seg.sink != "face":
+                continue
+            d = seg.nb // 2
+            if seg.kind == "wrap":
+                lo = seg.lo.copy()
+                hi = seg.hi.copy()
+                lo[d] = seg.src
+                hi[d] = seg.src + 1
+                vals = jnp.squeeze(canvas[self._cansl(lo, hi)], axis=2 - d)
+            else:
+                x1, x2 = self._seg_x12(canvas, seg)
+                if seg.kind == "rb":
+                    c0, c1, c2 = RB_COEFFS
+                    b = bcache[i]
+                else:
+                    c0, c1, c2 = bc_phys[seg.nb]
+                    b = self._seg_bwin(bplanes_raw, seg)
+                vals = c0 * b + c1 * x1
+                if c2 != 0.0:
+                    vals = vals + c2 * x2
+            tdims = [dd for dd in range(3) if dd != d]
+            sl = tuple(slice(int(seg.lo[dd]), int(seg.hi[dd]))
+                       for dd in reversed(tdims))
+            planes[seg.nb] = planes[seg.nb].at[sl].set(vals)
+        # pad to the kernel plane layouts
+        pads = [((dk.PZ, dk.PZ), (dk.PY, dk.PY)),
+                ((dk.PZ, dk.PZ), (dk.PY, dk.PY)),
+                ((dk.PZ, dk.PZ), (0, 0)), ((dk.PZ, dk.PZ), (0, 0)),
+                ((dk.PY, dk.PY), (0, 0)), ((dk.PY, dk.PY), (0, 0))]
+        return [jnp.pad(p, pd) for p, pd in zip(planes, pads)]
+
+    def _assemble(self, state, lvl, key, bcache=None, prefer=None):
+        """(canvas_with_fresh_ring, face_planes, ring_vals) for one
+        variable.
+
+        All variables synthesize with phi's BC data: the reference saves
+        iold = phi INCLUDING ghosts (update_coarse, m_multigrid.f90:
+        369-383), so the corr-ring ghosts of iold are phi-BC ghosts of
+        the saved field — recomputing them from the frozen coarse chain
+        yields the same values (the dense_amr solver relies on the same
+        identity)."""
+        if bcache is None:
+            bcache = self._rb_cache(state, lvl, key)
+        canvas = state[key][lvl]
+        raw = state["bc"][lvl]
+        vals = self._ring_values(canvas, raw, bcache, lvl)
+        canvas = self._write_ring(canvas, vals, lvl, prefer)
+        planes = self._face_planes(canvas, raw, bcache, lvl)
+        return canvas, planes, vals
+
+    def _ext(self, state, lvl, key, bcache=None, prefer=None):
+        """[Z+2, Y+2, X+2] canvas with ALL ghosts materialized: interior
+        + in-canvas ring values + the one-cell outer ring from the face
+        planes.  The generalization of _var_with_ring to forests."""
+        canvas, planes, _ = self._assemble(state, lvl, key, bcache,
+                                           prefer)
+        X, Y, Z = self.dims[lvl]
+        out = jnp.zeros((Z + 2, Y + 2, X + 2), self.cfg.dtype)
+        out = out.at[(slice(1, -1),) * 3].set(canvas[_ISL])
+        # outer ring faces from the assembled planes (strip kernel pads)
+        PZ, PY = dk.PZ, dk.PY
+        xs = [p[PZ:PZ + Z, PY:PY + Y] for p in planes[0:2]]
+        ys = [p[PZ:PZ + Z, :] for p in planes[2:4]]
+        zs = [p[PY:PY + Y, :] for p in planes[4:6]]
+        out = out.at[1:-1, 1:-1, 0].set(xs[0])
+        out = out.at[1:-1, 1:-1, -1].set(xs[1])
+        out = out.at[1:-1, 0, 1:-1].set(ys[0])
+        out = out.at[1:-1, -1, 1:-1].set(ys[1])
+        out = out.at[0, 1:-1, 1:-1].set(zs[0])
+        out = out.at[-1, 1:-1, 1:-1].set(zs[1])
+        return out
+
+    def _var_with_ring(self, state, lvl, key):
+        return self._ext(state, lvl, key)
+
+    # ------------------------------------------------------------------
+    # cycle building blocks
+    # ------------------------------------------------------------------
+    def _smooth(self, state, lvl, n_cycle, lam):
+        """n_cycle GSRB iterations at half-sweep granularity with ring
+        and face-plane refreshes between half-sweeps (smooth_boxes,
+        m_multigrid.f90:404-424; red parity 0 first, as the dense
+        path)."""
+        cfg = self._kcfgs[lvl]
+        bcache = self._rb_cache(state, lvl, "phi")
+        raw = state["bc"][lvl]
+        canvas = state["phi"][lvl]
+        rhs = state["rhs"][lvl]
+        eps = self._eps(state, lvl)
+        plan = self.conflicts.get(lvl)
+        for n in range(2 * n_cycle):
+            vals = self._ring_values(canvas, raw, bcache, lvl)
+            ringed = self._write_ring(canvas, vals, lvl)
+            planes = self._face_planes(ringed, raw, bcache, lvl)
+            canvas = dk.half_sweep_dense(cfg, ringed, rhs, lam, planes,
+                                         parity=n % 2, eps=eps)
+            if plan:
+                canvas = self._fix_sweep(lvl, canvas, ringed, vals,
+                                         planes, rhs, lam, n % 2)
+        return self._set(state, "phi", lvl, canvas)
+
+    def _residual(self, state, lvl, lam):
+        cfg = self._kcfgs[lvl]
+        canvas, planes, vals = self._assemble(state, lvl, "phi")
+        ires = dk.stencil_apply_dense(cfg, canvas, state["rhs"][lvl], lam,
+                                      planes, residual=True,
+                                      eps=self._eps(state, lvl))
+        if self.conflicts.get(lvl):
+            ires = self._fix_apply(lvl, ires, canvas, vals, planes,
+                                   state["rhs"][lvl], lam, True)
+        return self._set(state, "ires", lvl, ires)
+
+    def _apply_op(self, state, lvl, lam):
+        cfg = self._kcfgs[lvl]
+        canvas, planes, vals = self._assemble(state, lvl, "phi")
+        out = dk.stencil_apply_dense(cfg, canvas, state["rhs"][lvl], lam,
+                                     planes, residual=False,
+                                     eps=self._eps(state, lvl))
+        if self.conflicts.get(lvl):
+            out = self._fix_apply(lvl, out, canvas, vals, planes,
+                                  state["rhs"][lvl], lam, False)
+        return out
+
+    def _max_residual(self, state, lvl, lam):
+        """Max |res| over the FOOTPRINT cells only (garbage cells carry
+        meaningless residuals)."""
+        state = self._residual(state, lvl, lam)
+        r = state["ires"][lvl]
+        m = jnp.asarray(0.0, self.cfg.dtype)
+        for lo, hi in self.geom[lvl].rects:
+            m = jnp.maximum(m, jnp.max(jnp.abs(r[self._cansl(lo, hi)])))
+        return state, m
+
+    def _transfer_ok(self, lvl: int) -> bool:
+        return False
+
+    def _fused_transfer_ok(self, lvl: int) -> bool:
+        return False
+
+    def _image_rects(self, lvl):
+        """Fine footprint rectangles mapped into the coarse canvas
+        (canvas-local coarse cells)."""
+        off_f = self.offsets[lvl]
+        off_c = self.offsets[lvl - 1]
+        out = []
+        for lo, hi in self.geom[lvl].rects:
+            clo = (off_f + lo) // 2 - off_c
+            chi = (off_f + hi) // 2 - off_c
+            out.append((clo, chi))
+        return out
+
+    def _restrict_into(self, state, lvl, key):
+        """Full-weighting restriction of the footprint into its coarse
+        image rectangles (restrict_onto on parents,
+        m_restrict.f90:165-214)."""
+        fine = state[key][lvl]
+        cfg = self._kcfgs[lvl]
+        half = tuple(v // 2 for v in cfg.dims)
+        if cfg.use_kernel and dk.transfer_tiles(half) is not None:
+            avg = dk.restrict_dense(cfg, fine)[_ISL]
+        else:
+            win = (2, 2, 2)
+            avg = jax.lax.reduce_window(
+                fine[_ISL], jnp.zeros((), fine.dtype), jax.lax.add,
+                win, win, "VALID") / 8.0
+        coarse = state[key][lvl - 1]
+        for (lo, hi), (clo, chi) in zip(self.geom[lvl].rects,
+                                        self._image_rects(lvl)):
+            win = (slice(int(lo[2]) // 2, int(hi[2]) // 2),
+                   slice(int(lo[1]) // 2, int(hi[1]) // 2),
+                   slice(int(lo[0]) // 2, int(hi[0]) // 2))
+            coarse = coarse.at[self._cansl(clo, chi)].set(avg[win])
+        return self._set(state, key, lvl - 1, coarse)
+
+    def _finish_coarse_rhs(self, state, lvl, lam):
+        """rhs_c = A(phi_c) + restrict(res) on the image rectangles only
+        (parents, m_multigrid.f90:369-383); iold_c = phi_c."""
+        a_phi = self._apply_op(state, lvl - 1, lam)
+        rhs_c = state["rhs"][lvl - 1]
+        for clo, chi in self._image_rects(lvl):
+            sl = self._cansl(clo, chi)
+            rhs_c = rhs_c.at[sl].set(a_phi[sl]
+                                     + state["ires"][lvl - 1][sl])
+        state = self._set(state, "rhs", lvl - 1, rhs_c)
+        state = self._set(state, "iold", lvl - 1, state["phi"][lvl - 1])
+        return state
+
+    def _correct_children(self, state, lvl_c, lam):
+        """phi_fine += prolong(phi_c - iold_c) over the fine canvas's
+        coarse image + one ghost ring (correct_children,
+        m_multigrid.f90:387-402; ring = ghost(phi) - ghost(iold), both
+        from the full ghost machinery)."""
+        lvl = lvl_c + 1
+        off_f = self.offsets[lvl]
+        off_c = self.offsets[lvl_c]
+        lo = (off_f // 2) - off_c           # image lo, coarse local
+        ext_dims = np.asarray(self.dims[lvl])[::-1] // 2  # (z, y, x)
+        sl = tuple(slice(int(lo[d]), int(lo[d]) + int(ext_dims[2 - d]) + 2)
+                   for d in (2, 1, 0))
+        if self.conflicts.get(lvl_c) is None:
+            corr = (self._ext(state, lvl_c, "phi")
+                    - self._ext(state, lvl_c, "iold"))
+            sub = corr[sl]
+        else:
+            # the prolongation's border-plane reads are per-axis ghost
+            # reads of the parent boxes (mg_prolong_sparse uses face
+            # neighbors only, m_prolong.f90:159-240); take each border
+            # plane from the axis-preferenced ext pair
+            bc_p = self._rb_cache(state, lvl_c, "phi")
+            bc_i = self._rb_cache(state, lvl_c, "iold")
+            corr_ax = {a: (self._ext(state, lvl_c, "phi", bcache=bc_p,
+                                     prefer=a)
+                           - self._ext(state, lvl_c, "iold", bcache=bc_i,
+                                       prefer=a))[sl]
+                       for a in range(3)}
+            sub = corr_ax[0]
+            for axis, a in ((0, 2), (1, 1), (2, 0)):
+                s2 = corr_ax[a]
+                idx0 = (slice(None),) * axis + (0,)
+                idx1 = (slice(None),) * axis + (-1,)
+                sub = sub.at[idx0].set(s2[idx0]).at[idx1].set(s2[idx1])
+        vals = self._prolong_rect(sub)
+        phi = state["phi"][lvl].at[_ISL].add(vals)
+        return self._set(state, "phi", lvl, phi)
+
+    # -- subtract mean (fully periodic forests) -------------------------
+    def _subtract_mean(self, state, key):
+        """Leaf-weighted global mean over levels >= 1, removed from all
+        levels (subtract_mean, m_multigrid.f90:245-294).  Leaf cells at
+        lvl = footprint minus the finer level's image."""
+        t = self.tree
+        total = jnp.asarray(0.0, self.cfg.dtype)
+        for lvl in [l for l in self.levels if l >= 1]:
+            w = float(np.prod(t.dr[lvl]))
+            arr = state[key][lvl]
+            s = jnp.asarray(0.0, self.cfg.dtype)
+            for lo, hi in self.geom[lvl].rects:
+                s = s + jnp.sum(arr[self._cansl(lo, hi)])
+            if lvl + 1 in self.levels:
+                for clo, chi in self._image_rects(lvl + 1):
+                    s = s - jnp.sum(arr[self._cansl(clo, chi)])
+            total = total + w * s
+        volume = float(np.prod(t.domain_size_lvl[1])
+                       * np.prod(t.dr[1]))
+        mean = total / volume
+        for lvl in self.levels:
+            state = self._set(state, key, lvl, state[key][lvl] - mean)
+        return state
+
+    # ------------------------------------------------------------------
+    # direct coarse solve plumbing
+    # ------------------------------------------------------------------
+    def _build_direct(self):
+        """The coarsest cycled level is gated to be a full-domain
+        uniform canvas; probe its operator through the forest apply so
+        BC synthesis (incl. periodic wraps via planes) is captured."""
+        lvl = self.levels[0]
+        ishape = self._ishape(lvl)
+        m = int(np.prod(ishape))
+        dt = self.cfg.dtype
+        zeros = jnp.zeros(self._pshape(self.dims[lvl]), dt)
+        lam0 = jnp.asarray(0.0, dt)
+        isl = self._isl
+        bcraw = self._eval_bc_planes(lvl)
+        state0 = {"phi": {lvl: zeros}, "rhs": {lvl: zeros},
+                  "bc": {lvl: bcraw}}
+        for i in range(self.n_eps):
+            state0[f"eps{i}"] = {lvl: jnp.ones_like(zeros)}
+
+        def apply_flat(v):
+            st = dict(state0)
+            st["phi"] = {lvl: zeros.at[isl].set(v.reshape(ishape))}
+            out = self._apply_op(st, lvl, lam0)
+            return out[isl].reshape(-1)
+
+        cols = jax.jit(jax.vmap(apply_flat))(jnp.eye(m, dtype=dt))
+        a0 = apply_flat(jnp.zeros(m, dt))
+        A = (np.asarray(cols, np.float64).T
+             - np.asarray(a0, np.float64)[:, None])
+        return self._eigen_package(A)
