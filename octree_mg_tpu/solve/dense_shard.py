@@ -176,11 +176,23 @@ class ShardedDenseMGSolver(DenseMGSolver):
     # ------------------------------------------------------------------
     # sharded building blocks (active inside shard_map traces)
     # ------------------------------------------------------------------
-    def _sync_pads(self, arr, lvl):
-        if self._ctx is None or not self.sharded[lvl]:
-            return super()._sync_pads(arr, lvl)
-        # halo exchange: my boundary interior planes -> neighbor pads
-        # (the reference's per-face isend/irecv, m_communication.f90:37-66)
+    def _sync_y(self, arr, lvl):
+        """Local y-periodic wrap pads (no communication)."""
+        X, Y, _ = self.dims[lvl]
+        PY = dk.PY
+        if self.periodic[1]:
+            d = min(dk.PZ, Y)
+            arr = arr.at[:, PY - d:PY].set(arr[:, Y + PY - d:Y + PY])
+            arr = arr.at[:, Y + PY:Y + PY + d].set(arr[:, PY:PY + d])
+        return arr
+
+    def _sync_z(self, arr, lvl):
+        """z halo exchange: my boundary interior planes -> neighbor pads
+        (the reference's per-face isend/irecv, m_communication.f90:37-66).
+        Deep halo: one ppermute pair per direction feeds the double-pair
+        kernel's whole 4-deep halo (two GSRB iterations per exchange —
+        half the per-pair ICI latency of a 2-deep halo); depth clamps to
+        the slab thickness."""
         K = self.K
         Zl = self._zl(lvl)
         PZ = dk.PZ
@@ -190,10 +202,6 @@ class ShardedDenseMGSolver(DenseMGSolver):
         else:
             fwd = [(i, i + 1) for i in range(K - 1)]
             bwd = [(i, i - 1) for i in range(1, K)]
-        # deep halo exchange: one ppermute pair per direction feeds the
-        # double-pair kernel's whole 4-deep halo (two GSRB iterations
-        # per exchange — half the per-pair ICI latency of a 2-deep
-        # halo); depth clamps to the slab thickness
         e = min(PZ, Zl)
         top = arr[Zl + PZ - e:Zl + PZ]      # my top e interior planes
         bot = arr[PZ:PZ + e]                # my bottom e interior planes
@@ -201,14 +209,64 @@ class ShardedDenseMGSolver(DenseMGSolver):
         from_next = lax.ppermute(bot, AXIS, bwd)
         arr = arr.at[PZ - e:PZ].set(from_prev)
         arr = arr.at[Zl + PZ:Zl + PZ + e].set(from_next)
-        # y-periodic wrap stays local
-        X, Y, _ = self.dims[lvl]
-        PY = dk.PY
-        if self.periodic[1]:
-            d = min(PZ, Y)
-            arr = arr.at[:, PY - d:PY].set(arr[:, Y + PY - d:Y + PY])
-            arr = arr.at[:, Y + PY:Y + PY + d].set(arr[:, PY:PY + d])
         return arr
+
+    def _sync_pads(self, arr, lvl):
+        if self._ctx is None or not self.sharded[lvl]:
+            return super()._sync_pads(arr, lvl)
+        return self._sync_y(self._sync_z(arr, lvl), lvl)
+
+    def _edge_cfg(self, lvl, h):
+        """Kernel config for an h-plane z-edge strip of a sharded
+        level."""
+        cfg = self._kcfgs[lvl]
+        return dk.DenseStencilConfig(
+            dims=(cfg.X, cfg.Y, h), idr2=cfg.idr2, bc=cfg.bc,
+            periodic=cfg.periodic, dtype=cfg.dtype, b_const=cfg.b_const,
+            interpret=cfg.interpret, n_eps=cfg.n_eps)
+
+    def _overlapped_pairs(self, lvl, cfg, phi, rhs, lam, bp, zg, k, eps):
+        """Halo-overlapped sweep pair group (SURVEY §2.4.3 — the
+        opportunity the reference leaves on the table):
+
+        1. issue the z ppermutes (async collectives on ICI),
+        2. sweep the whole slab from pre-exchange data only — cells
+           whose dependency cone (h = 2*n_pairs planes) reaches the
+           halo produce garbage there,
+        3. recompute the two h-plane edge strips with the fresh halos
+           and patch them in.
+
+        Bitwise identical to exchange-then-sweep: interior cells never
+        read the halo, edge cells are recomputed with the exact same
+        per-cell expression (sub-array runs the identical kernel/jnp
+        body)."""
+        PZ = dk.PZ
+        Zl = self._zl(lvl)
+        h = 2 * k
+        loc = self._sync_y(phi, lvl)        # local wraps only
+        arr = self._sync_z(loc, lvl)        # issues the ppermutes
+        full = dk.pair_sweep_dense(cfg, loc, rhs, lam, bp, red_parity=0,
+                                   z_gates=zg, n_pairs=k, eps=eps)
+        ecfg = self._edge_cfg(lvl, h)
+        w = h + 2 * PZ
+
+        def windows(z0):
+            sl = slice(z0, z0 + w)
+            bpw = [p[sl] if i < 4 else p for i, p in enumerate(bp)]
+            epw = tuple(e[sl] for e in eps)
+            return arr[sl], rhs[sl], bpw, epw
+
+        a_lo, r_lo, bp_lo, ep_lo = windows(0)
+        lo = dk.pair_sweep_dense(ecfg, a_lo, r_lo, lam, bp_lo,
+                                 red_parity=0, z_gates=(zg[0], False),
+                                 n_pairs=k, eps=ep_lo)
+        a_hi, r_hi, bp_hi, ep_hi = windows(Zl - h)
+        hi = dk.pair_sweep_dense(ecfg, a_hi, r_hi, lam, bp_hi,
+                                 red_parity=0, z_gates=(False, zg[1]),
+                                 n_pairs=k, eps=ep_hi)
+        full = full.at[PZ:PZ + h].set(lo[PZ:PZ + h])
+        full = full.at[PZ + Zl - h:PZ + Zl].set(hi[PZ:PZ + h])
+        return full
 
     def _smooth(self, state, lvl, n_cycle, lam):
         cfg = self._kcfgs[lvl]
@@ -217,13 +275,19 @@ class ShardedDenseMGSolver(DenseMGSolver):
         bp = state["bc"][lvl]
         zg = self._gates(lvl)
         eps = self._eps(state, lvl)
+        sharded_now = self._ctx is not None and self.sharded[lvl]
         rem = n_cycle
         while rem > 0:
             k = 2 if (rem >= 2 and cfg.use_kernel) else 1
-            phi = self._sync_pads(phi, lvl)
-            phi = dk.pair_sweep_dense(cfg, phi, rhs, lam, bp,
-                                      red_parity=0, z_gates=zg,
-                                      n_pairs=k, eps=eps)
+            if (sharded_now and self.cfg.overlap_halo
+                    and self._zl(lvl) >= 4 * k):
+                phi = self._overlapped_pairs(lvl, cfg, phi, rhs, lam, bp,
+                                             zg, k, eps)
+            else:
+                phi = self._sync_pads(phi, lvl)
+                phi = dk.pair_sweep_dense(cfg, phi, rhs, lam, bp,
+                                          red_parity=0, z_gates=zg,
+                                          n_pairs=k, eps=eps)
             rem -= k
         return self._set(state, "phi", lvl, phi)
 

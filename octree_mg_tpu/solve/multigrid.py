@@ -122,6 +122,14 @@ class MGConfig:
     #: applies to levels that shard evenly; results are bitwise equal
     #: either way (tests/test_explicit_halo.py)
     halo: str = "gspmd"
+    #: overlap the z-slab halo exchange with interior compute in the
+    #: sharded dense smoother (solve/dense_shard.py): the full-slab
+    #: sweep consumes only pre-exchange data while the ppermutes fly,
+    #: then the edge strips (the halo's dependency cone) are recomputed
+    #: with the fresh halos and patched in — bitwise identical to the
+    #: exchange-then-sweep order (the reference never overlaps,
+    #: SURVEY §2.4.3)
+    overlap_halo: bool = True
     #: research/negative-result options (see MGExperimental)
     experimental: MGExperimental = dataclasses.field(
         default_factory=MGExperimental)
