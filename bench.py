@@ -94,6 +94,95 @@ def run(size, box, n_its=None, dtype_name="float32"):
     return ups, dt / n_its, converged, r0, r1
 
 
+def run_mixed(size, box, n_outer=6):
+    """f32 sweeps + f64 residual (SURVEY §7.3.7): iterative refinement.
+
+    Outer loop in float64: r = rhs - A(x) via the jnp f64 operator
+    (kernels are f32-only on TPU), inner f32 FMG solves A e = r, then
+    x += e.  Reports throughput over the outer loop and the f64
+    residual contraction per outer iteration — the mode that matches
+    the reference's f64 accuracy class (m_data_structures.f90:8) while
+    the sweeps run at f32 speed."""
+    import jax
+    import jax.numpy as jnp
+    from jax import enable_x64
+    from octree_mg_tpu import MGConfig, build_rectangle, make_solver
+    from octree_mg_tpu.ops import dense_kernels as dk
+    from octree_mg_tpu.solve.dense import _ISL
+    # x64 is scoped to the f64 operator programs only: enabling it
+    # globally changes integer promotion inside the Mosaic kernel index
+    # math and breaks the (f32) FMG trace
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    dsz = np.full(3, size)
+    tree = build_rectangle(3, dsz, box, 1.0 / dsz, np.zeros(3))
+    # inner f32 solver: the headline configuration (donated, fused FMG)
+    s32 = make_solver(tree, MGConfig(operator="laplacian",
+                                     dtype=jnp.float32, donate=True,
+                                     fmg_mode="fused"))
+    st32 = s32.allocate()
+    top = s32.levels[-1]
+    # outer f64 operator on bare padded arrays (no f64 solver state —
+    # phi64 + rhs64 only, to fit HBM at 512^3 alongside the f32 state)
+    with enable_x64():
+        s64 = make_solver(tree, MGConfig(operator="laplacian",
+                                         dtype=jnp.float64))
+        cfg64 = s64._kcfgs[top]
+        planes64 = s64._eval_bc_planes(top)
+        pshape = dk.padded_shape(s64.dims[top])
+        lam64 = jnp.zeros((1, 1, 1), jnp.float64)
+        key = jax.random.PRNGKey(0)
+        rhs64 = jnp.zeros(pshape, jnp.float64).at[_ISL].set(
+            jax.random.normal(key, (size,) * 3, jnp.float64))
+
+        @jax.jit
+        def _f64_residual(phi64, rhs64):
+            r = dk.stencil_apply_dense(cfg64, phi64, rhs64, lam64,
+                                       planes64, residual=True)
+            return jnp.max(jnp.abs(r[_ISL])), r
+
+        @jax.jit
+        def _refresh(phi64, e32):
+            return phi64.at[_ISL].add(e32[_ISL].astype(jnp.float64))
+
+    def f64_residual(phi64, rhs64):
+        with enable_x64():
+            return _f64_residual(phi64, rhs64)
+
+    def refresh(phi64, e32):
+        with enable_x64():
+            return _refresh(phi64, e32)
+
+    def outer(phi64, st32):
+        rn, r64 = f64_residual(phi64, rhs64)
+        st32 = s32.set_interior(st32, top, "rhs",
+                                r64[_ISL].astype(jnp.float32))
+        st32, _ = s32.fas_fmg(st32, need_res=False)
+        phi64 = refresh(phi64, st32["phi"][top])
+        return phi64, st32, float(rn)
+
+    # warm all programs
+    with enable_x64():
+        phi64 = jnp.zeros(pshape, jnp.float64)
+    phi64, st32, _ = outer(phi64, st32)
+
+    # reset and measure
+    with enable_x64():
+        phi64 = jnp.zeros(pshape, jnp.float64)
+    norms = []
+    t0 = time.perf_counter()
+    for _ in range(n_outer):
+        phi64, st32, rn = outer(phi64, st32)  # float(rn) syncs each step
+        norms.append(rn)
+    rn_f, _ = f64_residual(phi64, rhs64)
+    norms.append(float(rn_f))
+    dt = time.perf_counter() - t0
+    unknowns = float(sum(int(np.prod(s32.dims[l])) for l in s32.levels))
+    factors = [norms[i] / norms[i + 1] for i in range(len(norms) - 1)]
+    return unknowns * n_outer / dt, dt / n_outer, norms, factors
+
+
 def run_2d(size, box, n_its=32):
     """Secondary benchmark: 2D Poisson FMG (dense 2D fast path)."""
     import jax.numpy as jnp
@@ -149,6 +238,43 @@ def run_amr(size, box, n_levels=3, n_its=16):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "f64":
+        size = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+        box = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+        import jax
+        jax.config.update("jax_enable_x64", True)
+        for attempt in [size, 384, 256]:
+            try:
+                ups, t_it, conv, r0, r1 = run(attempt, box,
+                                              dtype_name="float64")
+                break
+            except Exception as e:  # OOM (f64 doubles the footprint)
+                print(f"# f64 bench {attempt}^3 failed: "
+                      f"{type(e).__name__}: {str(e)[:160]}",
+                      file=sys.stderr)
+                jax.clear_caches()
+        else:
+            return
+        print(json.dumps({
+            "metric": f"unknowns_per_s_{attempt}_f64_poisson_fmg",
+            "value": ups, "unit": "unknowns/s",
+            "vs_baseline": ups / BASELINE_UNKNOWNS_PER_S}))
+        print(f"# f64 size={attempt} box={box} time/FMG={t_it:.4f}s "
+              f"res {r0:.3e}->{r1:.3e} converged={conv}", file=sys.stderr)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "mixed":
+        size = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+        box = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+        ups, t_it, norms, factors = run_mixed(size, box)
+        print(json.dumps({
+            "metric": f"unknowns_per_s_{size}_mixed_poisson_fmg",
+            "value": ups, "unit": "unknowns/s",
+            "vs_baseline": ups / BASELINE_UNKNOWNS_PER_S}))
+        print(f"# mixed size={size} box={box} time/outer={t_it:.4f}s "
+              f"f64 residuals {['%.3e' % n for n in norms]} "
+              f"contraction/outer {['%.1f' % f for f in factors]}",
+              file=sys.stderr)
+        return
     if len(sys.argv) > 1 and sys.argv[1] in ("2d", "amr"):
         # secondary suites (not the driver's headline line)
         mode = sys.argv[1]

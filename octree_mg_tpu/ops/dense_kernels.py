@@ -126,6 +126,11 @@ class DenseStencilConfig:
         #: 128-aligned.
         self.use_kernel = (self.ty is not None and self.tz is not None
                            and self.Y % PY == 0 and self.X % 128 == 0)
+        # float64 has no Mosaic support on TPU; the identical-jnp path
+        # serves it (XLA f64 emulation).  Interpret mode (CPU tests)
+        # keeps the kernel path so f64 parity tests cover it.
+        if not interpret and np.dtype(dtype).itemsize > 4:
+            self.use_kernel = False
         #: fused downsweep (smooth+residual+restrict) eligibility: the
         #: in-kernel restriction writes coarse tiles, so the coarse
         #: lane extent must be a 128-multiple, x a power of two (the
