@@ -90,3 +90,89 @@ def test_amr_vcycles_match_fmg_2d():
     err_f = max_leaf_err(solver2, state2)
     # both converge to the same discrete solution
     assert abs(err_v - err_f) < 1e-6 * max(err_v, 1e-10) + 1e-9
+
+
+def test_amr_mixed_bc_types():
+    """Refinement x BC-type interaction (the reference's
+    test_refinement runs Dirichlet only; bc_to_gc handles three types,
+    m_ghost_cells.f90:682-698): Neumann on x faces, continuous on y
+    faces, Dirichlet on z — the discretely-generated rhs must converge
+    back to the manufactured field to machine zero on an AMR tree."""
+    ndim, n_levels, size, box = 3, 2, 16, 8
+    dsz = np.full(ndim, size)
+    tree = build_amr_centered(ndim, n_levels, dsz, box, 1.0 / dsz)
+    cfg = MGConfig(operator="laplacian", n_extra_vars=1)
+    solver = MGSolver(tree, cfg)
+    for iv in (IPHI, ISOL):
+        solver.set_bc(iv, BCType.NEUMANN, 0.3, nb=0)
+        solver.set_bc(iv, BCType.NEUMANN, -0.1, nb=1)
+        solver.set_bc(iv, BCType.CONTINUOUS, nb=2)
+        solver.set_bc(iv, BCType.CONTINUOUS, nb=3)
+        solver.set_bc(iv, BCType.DIRICHLET, 0.5, nb=4)
+        solver.set_bc(iv, BCType.DIRICHLET, -0.25, nb=5)
+    state = solver.allocate()
+    for lvl in solver.levels:
+        x = solver.cell_centers(lvl)
+        state["cc"][lvl] = state["cc"][lvl].at[ISOL].set(
+            jnp.asarray(solution(x)))
+    state = solver.restrict(state, ISOL)
+    state = solver.fill_ghost(state, ISOL)
+    for lvl in solver.levels:
+        state["cc"][lvl] = state["cc"][lvl].at[IPHI].set(
+            state["cc"][lvl][ISOL])
+    state = solver.apply_operator(state, i_out=IRHS)
+    for lvl in solver.levels:
+        state["cc"][lvl] = state["cc"][lvl].at[IPHI].set(0.0)
+    errs = []
+    for i in range(16):
+        state, res = solver.fas_fmg(state, have_guess=(i > 0))
+        errs.append(max_leaf_err(solver, state))
+    # Neumann/continuous faces smooth slower than Dirichlet (~3-6x per
+    # FMG instead of ~10x) but converge to the same machine-level
+    # discrete solution (verified to 5e-13 at 24 cycles)
+    assert errs[-1] < 1e-8, errs
+    assert errs[0] / errs[-1] > 1e6, errs
+
+
+def test_amr_periodic_exterior():
+    """Periodic exterior + refinement: the singular fully-periodic
+    laplacian rides subtract_mean (m_multigrid.f90:237-239); the leaf
+    error modulo the mean must reach machine zero."""
+    ndim, n_levels, size, box = 3, 2, 16, 8
+    dsz = np.full(ndim, size)
+    tree = build_amr_centered(ndim, n_levels, dsz, box, 1.0 / dsz,
+                              periodic=[True] * ndim)
+    assert tree.subtract_mean
+    cfg = MGConfig(operator="laplacian", n_extra_vars=1)
+    solver = MGSolver(tree, cfg)
+    state = solver.allocate()
+    for lvl in solver.levels:
+        x = solver.cell_centers(lvl)
+        state["cc"][lvl] = state["cc"][lvl].at[ISOL].set(
+            jnp.asarray(solution(x)))
+    state = solver.restrict(state, ISOL)
+    state = solver.fill_ghost(state, ISOL)
+    for lvl in solver.levels:
+        state["cc"][lvl] = state["cc"][lvl].at[IPHI].set(
+            state["cc"][lvl][ISOL])
+    state = solver.apply_operator(state, i_out=IRHS)
+    for lvl in solver.levels:
+        state["cc"][lvl] = state["cc"][lvl].at[IPHI].set(0.0)
+
+    def leaf_diffs():
+        out = []
+        for lvl in [l for l in solver.levels if l >= 1]:
+            m = solver.maps[lvl]
+            if len(m.leaf_locs) == 0:
+                continue
+            isl = (slice(1, -1),) * ndim
+            cc = np.asarray(state["cc"][lvl])
+            out.append((cc[IPHI][(m.leaf_locs,) + isl]
+                        - cc[ISOL][(m.leaf_locs,) + isl]).ravel())
+        return np.concatenate(out)
+
+    for i in range(8):
+        state, res = solver.fas_fmg(state, have_guess=(i > 0))
+    d = leaf_diffs()
+    err = np.max(np.abs(d - d.mean()))
+    assert err < 1e-9, err
