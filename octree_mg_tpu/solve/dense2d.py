@@ -145,6 +145,25 @@ class Dense2DMGSolver(DenseMGSolver):
     # ------------------------------------------------------------------
     # compute building blocks (no pads, rolls wrap exactly)
     # ------------------------------------------------------------------
+    def _pin_repl(self, x):
+        """Pin a small traced intermediate to replicated under GSPMD.
+
+        The SPMD partitioner back-propagates a consumer's y-sharding
+        into the refinement-boundary strip chain (stack+reshape
+        interleaves over strip lengths not divisible by the mesh) and
+        miscompiles it (measured: wrong plane values whenever the plane
+        computation fuses into a y-sharded sweep, jax 0.9.0 CPU).  The
+        strips are O(N) vectors built from replicated coarse levels —
+        forcing them replicated costs nothing and keeps the whole chain
+        on the known-correct replicated partitioning."""
+        mesh = getattr(self, "_gspmd_mesh", None)
+        if mesh is None:
+            return x
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec()))
+
     def _sync_pads(self, arr, lvl):
         return arr
 
@@ -371,6 +390,13 @@ class Dense2DMGSolver(DenseMGSolver):
         K = int(np.prod(mesh.devices.shape))
         repl = NamedSharding(mesh, PartitionSpec())
         ysh = NamedSharding(mesh, PartitionSpec(ax, None))
+        #: remembered so traced programs can pin small cross-level
+        #: intermediates (rb strips) to replicated — see _pin_repl
+        self._gspmd_mesh = mesh
+        # the constraint ops must be IN the trace: drop cached traces
+        # built before the mesh was known (same avals would reuse them)
+        for cached in ("_jit_vcycle", "_jit_fmg"):
+            self.__dict__.pop(cached, None)
         #: per-level decision, inspectable (mirrors dense_shard.sharded)
         self.y_sharded = {}
         for lvl in self.levels:

@@ -200,8 +200,11 @@ class Dense2DAMRMGSolver(Dense2DMGSolver):
         planes = list(state["bc"][lvl])
         # coarse patch with its one-cell ring (ring values consumed only
         # where the strip pokes past the coarse interior, i.e. at
-        # domain-flush transverse edges — physical synthesis there)
-        cw = self._var_with_ring(state, lvl - 1, key)
+        # domain-flush transverse edges — physical synthesis there).
+        # _pin_repl: keep the strip chain replicated under GSPMD (the
+        # partitioner miscompiles the interleave when it back-propagates
+        # a consumer's y-sharding into it — see Dense2DMGSolver._pin_repl)
+        cw = self._pin_repl(self._var_with_ring(state, lvl - 1, key))
         r0, r1 = self.regions[lvl]
         for nb in range(4):
             if kinds[nb] != "rb":
@@ -214,7 +217,7 @@ class Dense2DAMRMGSolver(Dense2DMGSolver):
             sl[ax] = nidx
             sl[1 - td] = slice(int(r0[td]), int(r1[td]) + 2)
             tmp = cw[tuple(sl)]           # [t+2] coarse strip
-            planes[nb] = interp_rb_strip(tmp[None], 2)[0]
+            planes[nb] = self._pin_repl(interp_rb_strip(tmp[None], 2)[0])
         return planes
 
     # ------------------------------------------------------------------
