@@ -22,6 +22,7 @@ achievable throughput of this bandwidth-limited workload.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
+import functools
 import json
 import os
 import sys
@@ -124,7 +125,10 @@ def run_mixed(size, box, n_outer=6):
     st32 = s32.allocate()
     top = s32.levels[-1]
     # outer f64 operator on bare padded arrays (no f64 solver state —
-    # phi64 + rhs64 only, to fit HBM at 512^3 alongside the f32 state)
+    # phi64 + rhs64 only, to fit HBM at 512^3 alongside the f32 state).
+    # The residual runs in z-chunks (z_gates slab semantics, as in the
+    # sharded solver) writing f32 directly: a monolithic f64 residual
+    # program OOMs at 512^3 on 16 GB HBM.
     with enable_x64():
         s64 = make_solver(tree, MGConfig(operator="laplacian",
                                          dtype=jnp.float64))
@@ -135,14 +139,39 @@ def run_mixed(size, box, n_outer=6):
         key = jax.random.PRNGKey(0)
         rhs64 = jnp.zeros(pshape, jnp.float64).at[_ISL].set(
             jax.random.normal(key, (size,) * 3, jnp.float64))
+        NCH = 8 if size % 8 == 0 else 1
+        CH = size // NCH
+        ccfg = dk.DenseStencilConfig(
+            dims=(cfg64.X, cfg64.Y, CH), idr2=cfg64.idr2, bc=cfg64.bc,
+            periodic=cfg64.periodic, dtype=cfg64.dtype,
+            b_const=cfg64.b_const, n_eps=cfg64.n_eps)
+        PZ = dk.PZ
 
         @jax.jit
         def _f64_residual(phi64, rhs64):
-            r = dk.stencil_apply_dense(cfg64, phi64, rhs64, lam64,
-                                       planes64, residual=True)
-            return jnp.max(jnp.abs(r[_ISL])), r
+            from jax import lax
 
-        @jax.jit
+            def chunk(i, carry):
+                out32, mx = carry
+                pw = lax.dynamic_slice_in_dim(phi64, i * CH,
+                                              CH + 2 * PZ, axis=0)
+                rw = lax.dynamic_slice_in_dim(rhs64, i * CH,
+                                              CH + 2 * PZ, axis=0)
+                r = dk.stencil_apply_dense(ccfg, pw, rw, lam64,
+                                           planes64, residual=True,
+                                           z_gates=(i == 0, i == NCH - 1))
+                ri = r[_ISL]
+                mx = jnp.maximum(mx, jnp.max(jnp.abs(ri)))
+                out32 = lax.dynamic_update_slice_in_dim(
+                    out32, ri.astype(jnp.float32), i * CH, axis=0)
+                return out32, mx
+
+            out32 = jnp.zeros((size,) * 3, jnp.float32)
+            mx = jnp.zeros((), jnp.float64)
+            out32, mx = lax.fori_loop(0, NCH, chunk, (out32, mx))
+            return mx, out32
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def _refresh(phi64, e32):
             return phi64.at[_ISL].add(e32[_ISL].astype(jnp.float64))
 
@@ -155,9 +184,8 @@ def run_mixed(size, box, n_outer=6):
             return _refresh(phi64, e32)
 
     def outer(phi64, st32):
-        rn, r64 = f64_residual(phi64, rhs64)
-        st32 = s32.set_interior(st32, top, "rhs",
-                                r64[_ISL].astype(jnp.float32))
+        rn, r32 = f64_residual(phi64, rhs64)
+        st32 = s32.set_interior(st32, top, "rhs", r32)
         st32, _ = s32.fas_fmg(st32, need_res=False)
         phi64 = refresh(phi64, st32["phi"][top])
         return phi64, st32, float(rn)
@@ -239,27 +267,30 @@ def run_amr(size, box, n_levels=3, n_its=16):
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "f64":
+        # an OOM'd attempt pins device buffers until process exit on
+        # this runtime, so each size is tried in a fresh subprocess
+        import subprocess
         size = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+        box = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+        for attempt in [s for s in (size, 384, 256) if s <= size]:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                "f64_one", str(attempt), str(box)])
+            if r.returncode == 0:
+                return
+            print(f"# f64 bench {attempt}^3 failed (rc={r.returncode}), "
+                  f"retrying smaller", file=sys.stderr)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "f64_one":
+        size = int(sys.argv[2])
         box = int(sys.argv[3]) if len(sys.argv) > 3 else 16
         import jax
         jax.config.update("jax_enable_x64", True)
-        for attempt in [size, 384, 256]:
-            try:
-                ups, t_it, conv, r0, r1 = run(attempt, box,
-                                              dtype_name="float64")
-                break
-            except Exception as e:  # OOM (f64 doubles the footprint)
-                print(f"# f64 bench {attempt}^3 failed: "
-                      f"{type(e).__name__}: {str(e)[:160]}",
-                      file=sys.stderr)
-                jax.clear_caches()
-        else:
-            return
+        ups, t_it, conv, r0, r1 = run(size, box, dtype_name="float64")
         print(json.dumps({
-            "metric": f"unknowns_per_s_{attempt}_f64_poisson_fmg",
+            "metric": f"unknowns_per_s_{size}_f64_poisson_fmg",
             "value": ups, "unit": "unknowns/s",
             "vs_baseline": ups / BASELINE_UNKNOWNS_PER_S}))
-        print(f"# f64 size={attempt} box={box} time/FMG={t_it:.4f}s "
+        print(f"# f64 size={size} box={box} time/FMG={t_it:.4f}s "
               f"res {r0:.3e}->{r1:.3e} converged={conv}", file=sys.stderr)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "mixed":
