@@ -19,6 +19,17 @@ these attribute WHERE the ~1ms/sweep of exposed VPU time goes:
            half-sweeps each computing ONLY the updated color (y/z rolls
            at half width), riffle back.  Timing prototype: stencil
            arithmetic without BC synthesis.
+  qeo4   = cost model of PERSISTENT even/odd-(y,z) quadrant storage
+           (round-3 "one last swing", VERDICT item 8): with phi stored
+           as 4 quarter arrays split by y and z parity, each quadrant's
+           y-neighbor sum needs ONE roll of its y-partner quadrant (the
+           two global y-neighbors are consecutive rows of the partner)
+           and likewise for z — 4 quarter-size rolls = 1 full-size-roll
+           equivalent per axis per half-sweep, vs 2 for the standard
+           layout.  Emulated exactly in the standard kernel: 1 sublane
+           roll + 1 untiled roll + 2 lane rolls per half-sweep, same
+           adds, same bytes, same divide — the byte-movement cost
+           structure is identical, without building the 4-array kernel.
 """
 import os
 import sys
@@ -88,6 +99,17 @@ def main():
         return jnp.concatenate([p[tuple(sl_keep)],
                                 p[tuple(sl_edge)]], axis)
 
+    def sweep_qeo(p, r, l):
+        """Quadrant-storage cost emulation: per half-sweep one sublane
+        + one untiled roll (each axis' neighbor pair costs one roll of
+        the partner quadrant), x rolls unchanged (lanes, free), same
+        add count and divide as the real sweep."""
+        acc = -r + idr2[0] * (dk._roll(p, +1, 2, False)
+                              + dk._roll(p, -1, 2, False))
+        acc = acc + idr2[1] * (dk._roll(p, +1, 1, False) + p)
+        acc = acc + idr2[2] * (dk._roll(p, +1, 0, False) + p)
+        return acc * (1.0 / (cfg.den0 + l))
+
     def sweep_cat(p, r, cat_axes):
         """rolls-style sweep, but axes in cat_axes use concat shifts."""
         acc = -r
@@ -105,7 +127,7 @@ def main():
         for fully-interior cells; no BC synthesis (timing probe)."""
         inv = 1.0 / cfg.den0
 
-        def body(p, r, l, m, g, b):
+        def body(p, r, l, m, g, b, e=()):
             gx, gy, gz = g
             # row parity: True where red cells sit at odd x (r==1)
             rowsel = ((gy + gz) % 2) == 1  # (ZW, YW, 1) broadcastable
@@ -162,15 +184,17 @@ def main():
         if base == "comp":
             comp_body = sweep_comp(n_sw)
 
-        def body(p, r, l, m, g, b):
+        def body(p, r, l, m, g, b, e=()):
             if base == "comp":
-                return comp_body(p, r, l, m, g, b)
+                return comp_body(p, r, l, m, g, b, e)
             if base == "none":
                 return p + r
 
             def one(i, p):
                 if base == "nosel":
                     return sweep_nosel(p, r, l)
+                if base == "qeo":
+                    return sweep_qeo(p, r, l)
                 if base == "rolls":
                     return sweep_axes(p, r, (2, 1, 0))
                 if base in cat_of:
