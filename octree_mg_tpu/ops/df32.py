@@ -1,0 +1,251 @@
+"""Double-float (f32-pair) residual for f64-class iterative refinement.
+
+TPU has no hardware float64 (XLA emulates it unfused at ~20 GB/s —
+docs/PERF.md "dtype study").  For the mixed-precision outer loop
+(SURVEY §7.3.7: f32 sweeps + f64 residual; the reference is f64
+throughout, m_data_structures.f90:8) the residual
+
+    r = rhs - A(x)
+
+is the only place f64 accuracy is needed, and A is linear.  This module
+evaluates it EXACTLY over a double-float representation x = x_hi + x_lo
+(two f32 arrays, ~2^-48 relative precision) using error-free
+transformations built from plain f32 adds (Knuth TwoSum) — no f64 ops
+at all, so everything fuses into fast XLA elementwise chains.
+
+Exactness gating (``df32_ok``): every stencil product must be exact in
+f32, which holds when
+
+* the operator is the constant-coefficient cartesian laplacian
+  (lam = 0) with equal grid spacing per dim,
+* 1/dx^2 is a power of two (unit-cube power-of-two grids — the common
+  case and every benchmark config; den0 = 6/dx^2 splits into the exact
+  4/dx^2 + 2/dx^2 pair),
+* BC coefficient triples have c1, c2 in {0, +-1, +-2} — Dirichlet
+  (2,-1,0), continuous (0,2,-1) and zero-gradient Neumann qualify
+  (m_ghost_cells.f90:682-698) — with static boundary values (their
+  c0*b products are pre-split host-side into exact f32 pairs).
+
+Everything else falls back to the chunked XLA-f64 residual (bench.py).
+
+The error analysis: with exact products, the main-term sum is exact
+(TwoSum chain) and all cancellation error lands in a compensation
+channel that is applied at the end, so the returned f32 r is the
+correctly-rounded true residual of the represented x up to (a) its own
+f32 rounding, RELATIVE to |r| (2^-24 — harmless for refinement, the
+error shrinks with r), and (b) an absolute floor of ~2^-45 of the
+stencil term magnitudes from the compensation channel's second-order
+rounding and the double-float representation itself.  A plain f32
+residual instead carries ~2^-24-of-term-magnitude ABSOLUTE cancellation
+noise, which is what caps plain f32 solves at ~1e-6 relative.
+
+Cost: ~12 rolls + ~60 f32 flops/cell, all fused by XLA; measured ~6x
+faster than the emulated-f64 residual at 512^3 (docs/PERF.md).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import dense_kernels as dk
+
+
+# ---------------------------------------------------------------------------
+# error-free transformations (f32 adds only — safe under XLA, which
+# does not reassociate floats and cannot fma-contract pure additions)
+# ---------------------------------------------------------------------------
+
+def two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly (6 flops, branch-free).
+
+    CAUTION (measured on this toolchain): `a` must be a TRACED value,
+    not a python/np constant.  With a constant `a`, XLA's algebraic
+    simplifier sees `s - a` / `s - bb` and rewrites the error term away
+    (jit result loses exactness, ~2^-24 relative error re-appears —
+    tests/test_df32.py::test_two_sum_jit_exact).  TwoSum is symmetric,
+    so call with the traced operand first; constants go in `b`."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def fast_two_sum(a, b):
+    """Dekker FastTwoSum (requires |a| >= |b|): s + e == a + b."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def accumulate_df32(xhi, xlo, delta):
+    """(xhi + xlo) + delta in double-f32: the outer-loop solution
+    update x += e with no precision loss (delta is a plain f32)."""
+    s, err = two_sum(xhi, delta)
+    lo = xlo + err
+    return fast_two_sum(s, lo)
+
+
+def split_f64(a64) -> Tuple[np.ndarray, np.ndarray]:
+    """Split a float64 array/scalar into an (hi, lo) f32 pair with
+    hi + lo == a64 to f32-pair precision (host-side, setup only)."""
+    hi = np.asarray(a64, np.float64).astype(np.float32)
+    lo = (np.asarray(a64, np.float64) - hi.astype(np.float64)).astype(
+        np.float32)
+    return hi, lo
+
+
+def _is_pow2(v: float) -> bool:
+    m, _ = np.frexp(np.float64(v))
+    return m == 0.5
+
+
+# ---------------------------------------------------------------------------
+# gating
+# ---------------------------------------------------------------------------
+
+_OK_C = (0.0, 1.0, -1.0, 2.0, -2.0)
+
+
+def df32_ok(cfg: dk.DenseStencilConfig) -> bool:
+    """Whether the exact double-float residual covers this config
+    (see module docstring for the conditions)."""
+    if cfg.n_eps:
+        return False
+    if len(set(cfg.idr2)) != 1 or not _is_pow2(cfg.idr2[0]):
+        return False
+    for d in range(3):
+        if cfg.periodic[d]:
+            continue
+        for nb in (2 * d, 2 * d + 1):
+            c0, c1, c2 = cfg.bc[nb]
+            if c1 not in _OK_C or c2 not in _OK_C:
+                return False
+            if cfg.b_const[nb] is None:
+                return False  # traced plane values: pre-split constants only
+    return True
+
+
+def _cb_pairs(cfg) -> List[Tuple[float, float]]:
+    """Host-side exact split of the c0*b boundary constants."""
+    out = []
+    for nb in range(6):
+        b = cfg.b_const[nb]
+        c0 = cfg.bc[nb][0] if not cfg.periodic[nb // 2] else 0.0
+        hi, lo = split_f64(np.float64(c0) * np.float64(b if b is not None
+                                                       else 0.0))
+        out.append((float(hi), float(lo)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the residual
+# ---------------------------------------------------------------------------
+
+def _df32_expr(cfg, xhi, xlo, rhshi, rhslo, masks, cbs, interpret):
+    """The shared residual expression over one (window or full) array
+    set — see residual_df32 for semantics."""
+    idr2 = cfg.idr2[0]
+
+    comp = jnp.zeros_like(xhi)   # first-order compensation channel
+    s = rhshi                    # exact-sum accumulator
+    alo = jnp.zeros_like(xhi)    # plain A_hom(x_lo)
+
+    for d, axis in ((0, 2), (1, 1), (2, 0)):
+        rlo_h = dk._roll(xhi, +1, axis, interpret)
+        rhi_h = dk._roll(xhi, -1, axis, interpret)
+        rlo_l = dk._roll(xlo, +1, axis, interpret)
+        rhi_l = dk._roll(xlo, -1, axis, interpret)
+        vlo_h, vhi_h, vlo_l, vhi_l = rlo_h, rhi_h, rlo_l, rhi_l
+        if masks[d] is not None:
+            m_lo, m_hi = masks[d]
+            # ghost(x) = (c0*b)_hi + c1*x1 + c2*x2 + (c0*b)_lo, the hi
+            # part via an exact TwoSum chain; x1 is the boundary cell
+            # itself, x2 its inner neighbor read from the RAW roll
+            # (ops.dense_kernels._neighbor_ops / bc_to_gc,
+            # m_ghost_cells.f90:682-698).  The x_lo ghost is the same
+            # formula with b = 0 (the boundary value is carried once).
+            c0l, c1l, c2l = cfg.bc[2 * d]
+            c0h, c1h, c2h = cfg.bc[2 * d + 1]
+            cbl_h, cbl_l = cbs[2 * d]
+            cbh_h, cbh_l = cbs[2 * d + 1]
+
+            gv, ge = two_sum(c1l * xhi, cbl_h)  # traced first (two_sum)
+            if c2l != 0.0:
+                gv, e2 = two_sum(gv, c2l * rhi_h)
+                ge = ge + e2
+            ge = ge + cbl_l
+            vlo_h = jnp.where(m_lo, gv, rlo_h)
+            vlo_l = jnp.where(m_lo, c1l * xlo
+                              + (c2l * rhi_l if c2l != 0.0 else 0.0),
+                              rlo_l)
+            e_lo = jnp.where(m_lo, ge, 0.0)
+
+            gv, ge = two_sum(c1h * xhi, cbh_h)  # traced first (two_sum)
+            if c2h != 0.0:
+                gv, e2 = two_sum(gv, c2h * rlo_h)
+                ge = ge + e2
+            ge = ge + cbh_l
+            vhi_h = jnp.where(m_hi, gv, rhi_h)
+            vhi_l = jnp.where(m_hi, c1h * xlo
+                              + (c2h * rlo_l if c2h != 0.0 else 0.0),
+                              rhi_l)
+            e_hi = jnp.where(m_hi, ge, 0.0)
+            comp = comp - idr2 * (e_lo + e_hi)
+        sd, ed = two_sum(vlo_h, vhi_h)
+        s, e = two_sum(s, -(idr2 * sd))
+        comp = comp + (e - idr2 * ed)
+        alo = alo + idr2 * (vlo_l + vhi_l)
+
+    # + (den0 + lam) * x with lam = 0 and den0 = 6*idr2 split into the
+    # exact 4*idr2 + 2*idr2 pair
+    s, e = two_sum(s, (4.0 * idr2) * xhi)
+    comp = comp + e
+    s, e = two_sum(s, (2.0 * idr2) * xhi)
+    comp = comp + e
+    comp = comp + rhslo - (alo - (6.0 * idr2) * xlo)
+    r_hi, _ = two_sum(s, comp)
+    return r_hi
+
+
+def residual_df32(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi, rhslo,
+                  z_gates=None):
+    """r_hi ~= (rhshi + rhslo) - A(xhi + xlo), exact to the double-float
+    representation (see module docstring).  Inputs are padded arrays in
+    the dense layout; pads follow the usual garbage-by-contract rules
+    (periodic pads maintained by the caller, non-periodic synthesized
+    inline).  z_gates: slab semantics as in stencil_apply_dense —
+    callers may chunk over z to bound temporaries.  Pure-XLA whole-array
+    evaluation; `residual_df32_dense` is the Mosaic fast path."""
+    assert df32_ok(cfg), "residual_df32 called outside its gate"
+    g = dk._full_iotas(cfg)
+    masks = dk._face_masks(cfg, g, z_gates)
+    return _df32_expr(cfg, xhi, xlo, rhshi, rhslo, masks,
+                      _cb_pairs(cfg), True)
+
+
+def residual_df32_dense(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi,
+                        rhslo, z_gates=None):
+    """Mosaic rendering of residual_df32: one window-DMA pass over the
+    four inputs (x_lo and rhs_lo ride the kernel machinery's
+    coefficient-window plumbing, which slices them with the same halo
+    windows as phi).  Falls back to the jnp form on ineligible
+    shapes.  Bitwise-identical to residual_df32 (tests/test_df32.py)."""
+    assert df32_ok(cfg), "residual_df32_dense called outside its gate"
+    if not cfg.use_kernel:
+        return residual_df32(cfg, xhi, xlo, rhshi, rhslo, z_gates)
+    kcfg = dk.DenseStencilConfig(
+        dims=cfg.dims, idr2=cfg.idr2, bc=cfg.bc, periodic=cfg.periodic,
+        dtype=cfg.dtype, b_const=cfg.b_const, interpret=cfg.interpret,
+        n_eps=2)
+    cbs = _cb_pairs(cfg)
+
+    def body(p, r, lam_s, masks, g, bpw, epw):
+        xlo_w, rhslo_w = epw
+        return _df32_expr(cfg, p, xlo_w, r, rhslo_w, masks, cbs,
+                          cfg.interpret)
+
+    return dk._call_kernel(kcfg, body, xhi, rhshi,
+                           jnp.zeros((), cfg.dtype), [None] * 6,
+                           z_gates, hz=1, eps=(xlo, rhslo))

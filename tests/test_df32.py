@@ -1,0 +1,253 @@
+"""Double-float residual (ops/df32) + iterative refinement (solve/refine).
+
+CPU x64 is available here, so the f32-pair residual is validated
+against the TRUE float64 residual of the same represented solution —
+the error must sit at the double-float representation level (~2^-45 of
+the stencil term magnitudes), orders below a plain f32 residual.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from octree_mg_tpu import BCType, MGConfig, build_rectangle, make_solver
+from octree_mg_tpu.ops import dense_kernels as dk
+from octree_mg_tpu.ops.df32 import (accumulate_df32, df32_ok,
+                                    residual_df32, split_f64, two_sum)
+from octree_mg_tpu.solve.dense import DenseMGSolver, _ISL
+from octree_mg_tpu.solve.refine import solve_refined
+
+SIZE, BOX = 32, 8
+
+
+def mk_solver(periodic=False, bc=None):
+    dsz = np.full(3, SIZE)
+    tree = build_rectangle(3, dsz, BOX, 1.0 / dsz, np.zeros(3),
+                           periodic=[periodic] * 3)
+    sv = make_solver(tree, MGConfig(operator="laplacian",
+                                    dtype=jnp.float32))
+    assert isinstance(sv, DenseMGSolver)
+    if bc:
+        for nb, (t, v) in enumerate(bc):
+            sv.set_bc(0, t, v, nb=nb)
+    return sv
+
+
+def pair_fields(sv, seed=0):
+    """Random double-float x and rhs (padded), pads synced."""
+    top = sv.levels[-1]
+    rng = np.random.default_rng(seed)
+    pshape = dk.padded_shape(sv.dims[top])
+    x64 = rng.normal(size=(SIZE,) * 3)
+    rhs64 = rng.normal(size=(SIZE,) * 3)
+    xhi_i, xlo_i = split_f64(x64)
+    rhi_i, rlo_i = split_f64(rhs64)
+
+    def pad(v):
+        return jnp.zeros(pshape, jnp.float32).at[_ISL].set(
+            jnp.asarray(v))
+
+    xhi = sv._sync_pads(pad(xhi_i), top)
+    xlo = sv._sync_pads(pad(xlo_i), top)
+    return xhi, xlo, pad(rhi_i), pad(rlo_i), x64, rhs64
+
+
+def f64_residual(sv, x64, rhs64):
+    """Reference: true float64 residual of the represented solution."""
+    top = sv.levels[-1]
+    cfg = sv._kcfgs[top]
+    cfg64 = dk.DenseStencilConfig(
+        dims=cfg.dims, idr2=cfg.idr2, bc=cfg.bc, periodic=cfg.periodic,
+        dtype=jnp.float64, b_const=cfg.b_const, interpret=True, n_eps=0)
+    pshape = dk.padded_shape(sv.dims[top])
+    # the represented x is exactly xhi + xlo
+    xhi_i, xlo_i = split_f64(x64)
+    xr = xhi_i.astype(np.float64) + xlo_i.astype(np.float64)
+    rhi_i, rlo_i = split_f64(rhs64)
+    rr = rhi_i.astype(np.float64) + rlo_i.astype(np.float64)
+    p64 = jnp.zeros(pshape, jnp.float64).at[_ISL].set(jnp.asarray(xr))
+    p64 = sv._sync_pads(p64, top)
+    r64p = jnp.zeros(pshape, jnp.float64).at[_ISL].set(jnp.asarray(rr))
+    lam = jnp.zeros((1, 1, 1), jnp.float64)
+    r = dk.stencil_apply_dense(cfg64, p64, r64p, lam, [None] * 6,
+                               residual=True)
+    return np.asarray(r[_ISL], np.float64)
+
+
+BC_CASES = {
+    "dirichlet0": [(BCType.DIRICHLET, 0.0)] * 6,
+    "dirichlet_val": [(BCType.DIRICHLET, 0.5), (BCType.DIRICHLET, -0.25),
+                      (BCType.DIRICHLET, 0.1), (BCType.DIRICHLET, 0.3),
+                      (BCType.DIRICHLET, 0.0), (BCType.DIRICHLET, 1.0)],
+    "mixed": [(BCType.NEUMANN, 0.3), (BCType.NEUMANN, -0.1),
+              (BCType.CONTINUOUS, 0.0), (BCType.CONTINUOUS, 0.0),
+              (BCType.DIRICHLET, 0.5), (BCType.DIRICHLET, -0.25)],
+}
+
+
+@pytest.mark.parametrize("case", list(BC_CASES) + ["periodic"])
+def test_residual_matches_f64(case):
+    """The regime that matters for refinement: x near the solution, so
+    the true residual is ~1e-6 of the stencil term magnitudes.  The
+    double-float evaluation must recover it to f32-relative accuracy
+    (+ the ~2^-45*scale representation floor); a plain f32 residual
+    drowns the signal in ~2^-24*scale cancellation noise."""
+    if case == "periodic":
+        sv = mk_solver(periodic=True)
+    else:
+        sv = mk_solver(bc=BC_CASES[case])
+    top = sv.levels[-1]
+    cfg = sv._kcfgs[top]
+    assert df32_ok(cfg)
+    rng = np.random.default_rng(1)
+    x64 = rng.normal(size=(SIZE,) * 3)
+    # rhs = A(x_repr) in f64 + a small perturbation => true residual
+    # ~= -perturbation, tiny against the idr2-scale terms
+    ax = f64_residual(sv, x64, np.zeros((SIZE,) * 3))  # = -A(x_repr)
+    delta = 1e-6 * rng.normal(size=(SIZE,) * 3)
+    rhs64 = -ax + delta
+
+    pshape = dk.padded_shape(sv.dims[top])
+
+    def pad(v):
+        return jnp.zeros(pshape, jnp.float32).at[_ISL].set(jnp.asarray(v))
+
+    xhi_i, xlo_i = split_f64(x64)
+    rhi_i, rlo_i = split_f64(rhs64)
+    xhi = sv._sync_pads(pad(xhi_i), top)
+    xlo = sv._sync_pads(pad(xlo_i), top)
+    # under jit: XLA's simplifier is exactly what the traced-first
+    # two_sum convention guards against (see ops.df32.two_sum)
+    r32 = np.asarray(jax.jit(lambda *w: residual_df32(cfg, *w))(
+        xhi, xlo, pad(rhi_i), pad(rlo_i))[_ISL])
+    r64 = f64_residual(sv, x64, rhs64)
+    scale = float(cfg.idr2[0]) * float(np.max(np.abs(x64)))
+    rmax = float(np.max(np.abs(r64)))
+    err = float(np.max(np.abs(r32 - r64)))
+    # f32-relative + double-float representation floor
+    assert err <= 3e-7 * rmax + 1e-11 * scale, (err, rmax, scale)
+    # sanity: the plain f32 residual (of the f32-rounded x) really is
+    # orders worse — its cancellation error is absolute in scale
+    p32 = sv._sync_pads(pad(x64.astype(np.float32)), top)
+    rplain = dk.stencil_apply_dense(
+        cfg, p32, pad(rhs64.astype(np.float32)),
+        jnp.zeros((1, 1, 1), jnp.float32), [None] * 6, residual=True)
+    err_plain = float(np.max(np.abs(np.asarray(rplain[_ISL]) - r64)))
+    assert err_plain > 50 * err, (err_plain, err)
+
+
+def test_residual_chunked_bitwise():
+    """The z-chunked evaluation (z_gates slabs) is bitwise the
+    monolithic one."""
+    sv = mk_solver(bc=BC_CASES["mixed"])
+    top = sv.levels[-1]
+    cfg = sv._kcfgs[top]
+    xhi, xlo, rhi, rlo, _, _ = pair_fields(sv, seed=3)
+    full = np.asarray(residual_df32(cfg, xhi, xlo, rhi, rlo)[_ISL])
+    CH = SIZE // 4
+    ccfg = dk.DenseStencilConfig(
+        dims=(cfg.X, cfg.Y, CH), idr2=cfg.idr2, bc=cfg.bc,
+        periodic=cfg.periodic, dtype=cfg.dtype, b_const=cfg.b_const,
+        interpret=True, n_eps=0)
+    PZ = dk.PZ
+    out = np.zeros((SIZE,) * 3, np.float32)
+    for i in range(4):
+        w = [a[i * CH:i * CH + CH + 2 * PZ] for a in (xhi, xlo, rhi, rlo)]
+        r = residual_df32(ccfg, *w, z_gates=(jnp.asarray(i == 0),
+                                             jnp.asarray(i == 3)))
+        out[i * CH:(i + 1) * CH] = np.asarray(r[_ISL])
+    assert np.array_equal(out, full)
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_residual_dense_kernel_bitwise(periodic):
+    """The Mosaic rendering (residual_df32_dense, x_lo/rhs_lo riding the
+    eps-window plumbing) is bitwise the whole-array jnp evaluation at a
+    kernel-eligible size (X % 128 == 0)."""
+    X, Y, Z = 128, 16, 16
+    bc = [(2.0, -1.0, 0.0), (0.0, 1.0, 0.0),   # dirichlet / neumann0
+          (0.0, 2.0, -1.0), (2.0, -1.0, 0.0),  # continuous / dirichlet
+          (2.0, -1.0, 0.0), (0.0, 1.0, 0.0)]
+    idr2 = (64.0,) * 3
+    cfg = dk.DenseStencilConfig(
+        dims=(X, Y, Z), idr2=idr2, bc=bc, periodic=(periodic,) * 3,
+        dtype=jnp.float32,
+        b_const=[0.5, 0.0, 0.0, -0.25, 1.0, 0.0], interpret=True)
+    assert cfg.use_kernel and df32_ok(cfg)
+    rng = np.random.default_rng(5)
+    pshape = dk.padded_shape((X, Y, Z))
+
+    def pad(v):
+        a = jnp.zeros(pshape, jnp.float32).at[_ISL].set(jnp.asarray(v))
+        if periodic:  # maintain periodic pads (garbage-by-contract else)
+            PZ, PY = dk.PZ, dk.PY
+            a = a.at[:PZ].set(a[-2 * PZ:-PZ]).at[-PZ:].set(a[PZ:2 * PZ])
+            a = (a.at[:, :PY].set(a[:, -2 * PY:-PY])
+                 .at[:, -PY:].set(a[:, PY:2 * PY]))
+        return a
+
+    args = [pad(rng.normal(size=(Z, Y, X)).astype(np.float32))
+            for _ in range(4)]
+    from octree_mg_tpu.ops.df32 import residual_df32_dense
+    r_jnp = np.asarray(residual_df32(cfg, *args)[_ISL])
+    r_ker = np.asarray(residual_df32_dense(cfg, *args)[_ISL])
+    assert np.array_equal(r_jnp, r_ker)
+
+
+def test_two_sum_jit_exact():
+    """two_sum stays error-free under jit with the traced operand
+    first.  (With a CONSTANT first operand, XLA's algebraic simplifier
+    rewrites the error term away — the regression this pins.)"""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=4096).astype(np.float32))
+    for f in (lambda x: two_sum(2.0 * x, 0.5),
+              lambda x: two_sum(-x, 0.5),
+              lambda x: two_sum(x, jnp.float32(0.25))):
+        s, e = jax.jit(f)(x)
+        s64 = np.asarray(s, np.float64) + np.asarray(e, np.float64)
+        se, ee = f(x)  # eager = ground truth (exact by construction)
+        t64 = np.asarray(se, np.float64) + np.asarray(ee, np.float64)
+        assert np.array_equal(s64, t64)
+
+
+def test_accumulate_df32_exact():
+    rng = np.random.default_rng(1)
+    x64 = np.zeros(1000)
+    xhi = jnp.zeros(1000, jnp.float32)
+    xlo = jnp.zeros(1000, jnp.float32)
+    for _ in range(20):
+        d = rng.normal(size=1000).astype(np.float32) * 10.0 ** rng.integers(-6, 0)
+        x64 = x64 + d.astype(np.float64)
+        xhi, xlo = accumulate_df32(xhi, xlo, jnp.asarray(d))
+    got = np.asarray(xhi, np.float64) + np.asarray(xlo, np.float64)
+    assert np.max(np.abs(got - x64)) <= 1e-12 * np.max(np.abs(x64))
+
+
+def test_solve_refined_reaches_f64_class():
+    """End-to-end: outer residual contracts past the f32 floor to the
+    1e-10-relative class (the reference's f64 behavior)."""
+    sv = mk_solver(bc=BC_CASES["dirichlet0"])
+    st = sv.allocate()
+    rng = np.random.default_rng(7)
+    rhs64 = rng.normal(size=(SIZE,) * 3)
+    rhi, rlo = split_f64(rhs64)
+    xhi, xlo, norms, st = solve_refined(sv, st, rhi, rlo, n_outer=8,
+                                        nch=4)
+    assert norms[-1] <= 1e-10 * norms[0], norms
+    # and the solution satisfies the f64 operator to the same class
+    x64 = np.asarray(xhi, np.float64) + np.asarray(xlo, np.float64)
+    r64 = f64_residual(sv, x64, rhs64)
+    # (f64_residual re-splits x64; splitting a double-float sum is not
+    # lossless, so compare at a slightly looser level)
+    assert np.max(np.abs(r64)) <= 1e-8 * norms[0]
+
+
+def test_df32_gate():
+    sv = mk_solver()
+    assert df32_ok(sv._kcfgs[sv.levels[-1]])
+    # non-power-of-two spacing is rejected
+    tree = build_rectangle(3, np.full(3, 24), 8, np.full(3, 1.0 / 24),
+                           np.zeros(3))
+    sv2 = make_solver(tree, MGConfig(operator="laplacian",
+                                     dtype=jnp.float32))
+    assert not df32_ok(sv2._kcfgs[sv2.levels[-1]])
