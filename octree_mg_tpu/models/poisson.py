@@ -140,3 +140,34 @@ class PoissonSolver:
         if self.dense:
             return np.asarray(self.solver.interior(self.state, lvl, "phi"))
         return np.asarray(self.state["cc"][lvl][IPHI])
+
+    # -- f64-class solve at f32 speed (TPU) -------------------------------
+    def solve_refined(self, rhs, n_outer: int = 8, rtol: float = 0.0
+                      ) -> Tuple[np.ndarray, dict]:
+        """Iteratively-refined solve to the f64 accuracy class with f32
+        kernels (solve/refine.RefinedPoisson; the reference is f64
+        throughout, m_data_structures.f90:8 — this is the TPU rendering
+        of that accuracy class, since TPUs have no hardware f64).
+
+        ``rhs``: a float64 interior array [Z, Y, X] (split into an
+        exact f32 pair), or an (rhs_hi, rhs_lo) f32 pair.  Requires the
+        dense 3D path and the df32 gate (power-of-two 1/dx^2,
+        constant-coefficient laplacian — `octree_mg_tpu.df32_ok`).
+        Returns (phi as float64 [Z, Y, X], info with the f64-class
+        outer-residual history)."""
+        from ..ops.df32 import split_f64
+        from ..solve.refine import RefinedPoisson
+        if not (self.dense and hasattr(self.solver, "_kcfgs")):
+            raise ValueError("solve_refined requires the dense 3D path")
+        state = self._ensure_state()
+        if isinstance(rhs, tuple):
+            rhs_hi, rhs_lo = rhs
+        else:
+            rhs_hi, rhs_lo = split_f64(np.asarray(rhs, np.float64))
+        rp = RefinedPoisson(self.solver)
+        xhi, xlo, norms, state = rp.solve(state, rhs_hi, rhs_lo,
+                                          n_outer=n_outer, rtol=rtol)
+        self.state = state
+        phi = (np.asarray(xhi, np.float64)
+               + np.asarray(xlo, np.float64))
+        return phi, {"residuals": norms, "cycles": len(norms) - 1}

@@ -46,6 +46,10 @@ class RefinedPoisson:
         top = solver.levels[-1]
         self.top = top
         cfg = solver._kcfgs[top]
+        if cfg.dtype != jnp.float32:
+            raise ValueError("RefinedPoisson refines an f32 inner "
+                             "solver (build with MGConfig(dtype="
+                             "jnp.float32)); got %s" % cfg.dtype)
         assert df32_ok(cfg), "rhs/operator outside the df32 gate"
         self.cfg = cfg
         X, Y, Z = (int(v) for v in solver.dims[top])
@@ -111,6 +115,26 @@ class RefinedPoisson:
             return accumulate_df32(xhi, xlo, e32)
         return f
 
+    @functools.cached_property
+    def _jit_step(self):
+        """Fused outer step for the Mosaic path: double-float
+        accumulation of the previous FMG correction, pad sync, the
+        df32 residual kernel, and the rhs write — one dispatch, all
+        big buffers donated (x_hi, x_lo and the rhs buffer update in
+        place; only the Mosaic kernel output is fresh)."""
+        solver, top = self.solver, self.top
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def f(xhi, xlo, rhs_buf, e32, rhshi_p, rhslo_p):
+            xhi, xlo = accumulate_df32(xhi, xlo, e32)
+            xhi = solver._sync_pads(xhi, top)
+            xlo = solver._sync_pads(xlo, top)
+            ri = residual_df32_dense(self.cfg, xhi, xlo, rhshi_p,
+                                     rhslo_p)[_ISL]
+            mx = jnp.max(jnp.abs(ri))
+            return xhi, xlo, rhs_buf.at[_ISL].set(ri), mx
+        return f
+
     def solve(self, state, rhs_hi, rhs_lo, n_outer: int = 8,
               rtol: float = 0.0):
         """rhs_hi/rhs_lo: interior [Z, Y, X] f32 pair
@@ -122,6 +146,22 @@ class RefinedPoisson:
         xhi = jnp.zeros(self.pshape, jnp.float32)
         xlo = jnp.zeros(self.pshape, jnp.float32)
         norms: List[float] = []
+        if self.cfg.use_kernel:
+            # fused-step loop: 2 dispatches per outer (step + FMG)
+            e32 = jnp.zeros(self.pshape, jnp.float32)
+            state = dict(state)
+            state["rhs"] = dict(state["rhs"])
+            for i in range(n_outer + 1):
+                xhi, xlo, rhs_new, mx = self._jit_step(
+                    xhi, xlo, state["rhs"][top], e32, rhshi_p, rhslo_p)
+                state["rhs"][top] = rhs_new
+                norms.append(float(mx))
+                if i == n_outer or (rtol
+                                    and norms[-1] <= rtol * norms[0]):
+                    break
+                state, _ = solver.fas_fmg(state, need_res=False)
+                e32 = state["phi"][top]
+            return xhi[_ISL], xlo[_ISL], norms, state
         for _ in range(n_outer):
             mx, r32 = self._jit_residual(xhi, xlo, rhshi_p, rhslo_p)
             norms.append(float(mx))

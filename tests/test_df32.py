@@ -242,6 +242,26 @@ def test_solve_refined_reaches_f64_class():
     assert np.max(np.abs(r64)) <= 1e-8 * norms[0]
 
 
+def test_solve_refined_fused_kernel_path():
+    """The Mosaic fused-step loop (accum + pad sync + df32 residual +
+    rhs write in one donated program) at a kernel-eligible size; same
+    f64-class convergence as the fallback loop."""
+    dsz = np.array([128, 16, 16])
+    tree = build_rectangle(3, dsz, 8, np.full(3, 1.0 / 128), np.zeros(3))
+    sv = make_solver(tree, MGConfig(operator="laplacian",
+                                    dtype=jnp.float32))
+    assert isinstance(sv, DenseMGSolver)
+    sv.set_bc(0, BCType.DIRICHLET, 0.0)
+    top = sv.levels[-1]
+    assert sv._kcfgs[top].use_kernel
+    st = sv.allocate()
+    rng = np.random.default_rng(11)
+    rhs64 = rng.normal(size=(16, 16, 128))
+    rhi, rlo = split_f64(rhs64)
+    xhi, xlo, norms, st = solve_refined(sv, st, rhi, rlo, n_outer=8)
+    assert norms[-1] <= 1e-10 * norms[0], norms
+
+
 def test_df32_gate():
     sv = mk_solver()
     assert df32_ok(sv._kcfgs[sv.levels[-1]])

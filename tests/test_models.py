@@ -68,3 +68,19 @@ def test_poisson_model_3d_dense():
     err = np.max(np.abs(np.asarray(phi) - sol_fn(x)))
     assert err < 0.1  # discretization error at 16^3
     assert info["residuals"][-1] < 1e-7 * info["residuals"][0]
+
+
+def test_poisson_model_solve_refined():
+    """solve_refined reaches the f64 accuracy class through the model
+    API (f32 inner solver + df32 outer refinement)."""
+    import jax.numpy as jnp
+    from octree_mg_tpu import DenseMGSolver
+    ps = PoissonSolver(3, (32, 32, 32), 8, dtype=jnp.float32)
+    assert isinstance(ps.solver, DenseMGSolver)
+    ps.set_dirichlet(0.0)
+    rng = np.random.default_rng(3)
+    rhs64 = rng.normal(size=(32, 32, 32))
+    phi, info = ps.solve_refined(rhs64, n_outer=8)
+    assert phi.dtype == np.float64
+    r = info["residuals"]
+    assert r[-1] <= 1e-10 * r[0], r
