@@ -10,13 +10,20 @@ as bilinearly interpolated Dirichlet BCs on every physical face
 (ghost_cells_free_bc/interp_bc :217-270), seed the multigrid initial guess
 from the FFT solution (:180-199), then run FMG or V-cycles.
 
-The FFT convolution uses Hockney domain doubling with a sampled 1/r
-kernel on ``jnp.fft`` instead of the reference's interpolating-scaling-
-function kernel (``poisson_3d_fft/build_kernel.f90:884-1164``).  The ISF
-kernel reaches ~1e-14 standalone accuracy; sampled 1/r is O(h^2), which
-matches the discretization error that dominates the multigrid use-case
-(the planes feed second-order bilinear BC interpolation anyway).  The
-difference only matters when the FFT level is the highest level.
+Two kernels on ``jnp.fft`` replace the reference's interpolating-
+scaling-function machinery (``poisson_3d_fft/build_kernel.f90:884-1164``):
+
+* ``kernel="igf"`` (default): Hockney domain doubling with the
+  integrated Green's function (exact cell integrals of 1/r) plus a
+  1/24-quadrature sharpening — ~4th order (5e-6 at 64^3 for the
+  Gaussian test).  Right for the MG path, where the boundary planes
+  feed second-order bilinear BC interpolation anyway.
+* ``kernel="spectral"``: the Vico-Greengard-Ferrando truncated kernel
+  (_green_kernel_hat_spectral) — spectrally accurate for smooth,
+  well-resolved, compactly-supported charge (measured ~1e-12 at 32^3
+  and 64^3, the reference ISF's accuracy class, acc_F.20-100.ref), at
+  a ~2.6x pad per dim instead of Hockney's 2x.  Right when the FFT
+  level IS the top level (standalone-FFT use).
 """
 from __future__ import annotations
 
@@ -65,6 +72,18 @@ class FreeSpaceCache:
     kernel_hat: jnp.ndarray          # rFFT of the doubled Green's kernel
     planes: Optional[Dict[int, jnp.ndarray]] = None  # per nb: boundary plane
     phi_global: Optional[jnp.ndarray] = None         # FFT potential (padded grid)
+    pad_shape: Optional[Tuple[int, ...]] = None      # spectral kernel pad
+
+
+def _build_cache(kernel: str, fft_lvl: int, nx: np.ndarray,
+                 dr: np.ndarray) -> FreeSpaceCache:
+    if kernel == "spectral":
+        khat, ps = _green_kernel_hat_spectral(nx + 2, dr)
+        return FreeSpaceCache(fft_lvl=fft_lvl, kernel_hat=khat,
+                              pad_shape=ps)
+    assert kernel == "igf", kernel
+    return FreeSpaceCache(fft_lvl=fft_lvl,
+                          kernel_hat=_green_kernel_hat(nx + 2, dr))
 
 
 def _green_kernel_hat(nx: np.ndarray, dr: np.ndarray) -> jnp.ndarray:
@@ -99,6 +118,58 @@ def _green_kernel_hat(nx: np.ndarray, dr: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.fft.rfftn(k))
 
 
+def _good_fft_size(n: int) -> int:
+    """Smallest 2^a * 3^b * 5^c >= n (jnp.fft is mixed-radix)."""
+    best = 1 << (int(n) - 1).bit_length()
+    p5 = 1
+    while p5 < best:
+        p3 = p5
+        while p3 < best:
+            m = p3
+            while m < n:
+                m *= 2
+            best = min(best, m)
+            p3 *= 3
+        p5 *= 5
+    return best
+
+
+def _green_kernel_hat_spectral(nx: np.ndarray, dr: np.ndarray
+                               ) -> Tuple[jnp.ndarray, Tuple[int, ...]]:
+    """Spectrally-accurate free-space kernel: the truncated Green's
+    function of Vico, Greengard & Ferrando (2016).
+
+    G_L(r) = 1/|r| for |r| <= L, 0 beyond; its Fourier transform is the
+    ENTIRE function  4*pi*(1 - cos(L|k|))/|k|^2  (-> 2*pi*L^2 at k=0),
+    so sampling it on the k-grid of a sufficiently padded box commits no
+    aliasing error at all: with L >= the grid diagonal and padded extent
+    M_d*h_d >= B_d + L, periodized images of G_L cannot reach any
+    (target, source) pair, and the convolution is exact for the trig
+    interpolant of rho.  For smooth, well-resolved, compactly-supported
+    charge this reaches the same accuracy class as the reference's
+    interpolating-scaling-function kernel (~1e-14 standalone,
+    poisson_3d_fft/build_kernel.f90:884-1164 and the acc_F reference
+    tables) — vs O(h^4) for the sharpened IGF kernel.  Cost: the pad
+    factor is ~1+sqrt(3) ~ 2.74 per dim instead of Hockney's 2.
+
+    Returns (kernel_hat for the padded rfftn grid, padded shape [z,y,x]).
+    """
+    B = np.asarray(nx, np.float64) * np.asarray(dr, np.float64)
+    L = float(np.sqrt(np.sum(B * B)))
+    M = [int(_good_fft_size(int(np.ceil(nx[d] + L / dr[d]))))
+         for d in range(3)]
+    kx = 2 * np.pi * np.fft.rfftfreq(M[0], d=dr[0])
+    ky = 2 * np.pi * np.fft.fftfreq(M[1], d=dr[1])
+    kz = 2 * np.pi * np.fft.fftfreq(M[2], d=dr[2])
+    kk = (kz[:, None, None] ** 2 + ky[None, :, None] ** 2
+          + kx[None, None, :] ** 2)
+    kn = np.sqrt(kk)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        khat = 4.0 * np.pi * (1.0 - np.cos(L * kn)) / kk
+    khat.flat[0] = 2.0 * np.pi * L * L
+    return jnp.asarray(khat), (M[2], M[1], M[0])
+
+
 def _sharpen_rho(rho: jnp.ndarray) -> jnp.ndarray:
     """Quadrature correction rho_eff = rho - (1/24) * sum_d D2_d(rho),
     with D2_d the plain second difference (the h_d^2 factors of
@@ -123,26 +194,32 @@ def _sharpen_rho(rho: jnp.ndarray) -> jnp.ndarray:
     return rho.at[interior].add(-d2 / 24.0)
 
 
-def _fft_convolve(rho: jnp.ndarray, kernel_hat: jnp.ndarray) -> jnp.ndarray:
+def _fft_convolve(rho: jnp.ndarray, kernel_hat: jnp.ndarray,
+                  pad_shape: Optional[Tuple[int, ...]] = None
+                  ) -> jnp.ndarray:
     nz, ny, nx = rho.shape
-    pad = jnp.zeros((2 * nz, 2 * ny, 2 * nx), rho.dtype)
+    ps = pad_shape or (2 * nz, 2 * ny, 2 * nx)
+    pad = jnp.zeros(ps, rho.dtype)
     pad = pad.at[:nz, :ny, :nx].set(rho)
-    out = jnp.fft.irfftn(jnp.fft.rfftn(pad) * kernel_hat,
-                         s=(2 * nz, 2 * ny, 2 * nx))
+    out = jnp.fft.irfftn(jnp.fft.rfftn(pad) * kernel_hat, s=ps)
     return out[:nz, :ny, :nx].astype(rho.dtype)
 
 
 class FreeSpacePoisson3D:
     """Driver for mg_poisson_free_3d (m_free_space.f90:36-214)."""
 
-    def __init__(self, solver: MGSolver, max_fft_frac: float = 0.15):
+    def __init__(self, solver: MGSolver, max_fft_frac: float = 0.15,
+                 kernel: str = "igf"):
         if solver.ndim != 3:
             raise ValueError("free-space solver is 3D only")
         if solver.cfg.operator != "laplacian" \
                 or solver.cfg.geometry != "cartesian":
             raise ValueError("free-space solve needs a Cartesian Laplacian")
+        if kernel not in ("igf", "spectral"):
+            raise ValueError("kernel must be 'igf' or 'spectral'")
         self.solver = solver
         self.max_fft_frac = max_fft_frac
+        self.kernel = kernel
         self.cache: Optional[FreeSpaceCache] = None
         # free-space BCs are interpolated Dirichlet values; mark the BC
         # type so ghost filling uses the Dirichlet formula
@@ -203,9 +280,7 @@ class FreeSpacePoisson3D:
             raise ValueError("first call requires new_rhs=True")
 
         if self.cache is None:
-            self.cache = FreeSpaceCache(
-                fft_lvl=lvl,
-                kernel_hat=_green_kernel_hat(self.nx + 2, self.dr))
+            self.cache = _build_cache(self.kernel, lvl, self.nx, self.dr)
 
         if new_rhs:
             # restrict rhs down to the fft level (m_free_space.f90:115-118)
@@ -220,8 +295,10 @@ class FreeSpacePoisson3D:
             rho = rho.at[self._int_idx.reshape(-1)].set(
                 rho_boxes.reshape(-1))
             rho = rho.reshape(self._gshape)
-            rho = _sharpen_rho(rho)
-            phi_g = _fft_convolve(rho, self.cache.kernel_hat)
+            if self.kernel == "igf":
+                rho = _sharpen_rho(rho)  # spectral needs raw samples
+            phi_g = _fft_convolve(rho, self.cache.kernel_hat,
+                                  self.cache.pad_shape)
             self.cache.phi_global = phi_g
 
             # boundary planes by face averaging (:167-174); plane arrays
@@ -322,14 +399,18 @@ class FreeSpacePoisson3DDense:
     written straight into the dense solver's per-face plane arrays
     (which the Mosaic kernels keep VMEM-resident)."""
 
-    def __init__(self, solver, max_fft_frac: float = 0.15):
+    def __init__(self, solver, max_fft_frac: float = 0.15,
+                 kernel: str = "igf"):
         from .dense import DenseMGSolver
         if not isinstance(solver, DenseMGSolver):
             raise TypeError("FreeSpacePoisson3DDense needs DenseMGSolver")
         if any(solver.periodic):
             raise ValueError("free-space solve needs non-periodic BCs")
+        if kernel not in ("igf", "spectral"):
+            raise ValueError("kernel must be 'igf' or 'spectral'")
         self.solver = solver
         self.max_fft_frac = max_fft_frac
+        self.kernel = kernel
         self.cache: Optional[FreeSpaceCache] = None
         # plane-valued Dirichlet on every face (interp values installed
         # per solve); fn marks the faces non-constant
@@ -437,9 +518,7 @@ class FreeSpacePoisson3DDense:
         if self.cache is None and not new_rhs:
             raise ValueError("first call requires new_rhs=True")
         if self.cache is None:
-            self.cache = FreeSpaceCache(
-                fft_lvl=lvl,
-                kernel_hat=_green_kernel_hat(self.nx + 2, self.dr))
+            self.cache = _build_cache(self.kernel, lvl, self.nx, self.dr)
 
         if new_rhs:
             # restrict rhs to the fft level (m_free_space.f90:115-118)
@@ -450,8 +529,10 @@ class FreeSpacePoisson3DDense:
             rho = jnp.zeros((Z + 2, Y + 2, X + 2), dt)
             rho = rho.at[(slice(1, -1),) * 3].set(
                 rhs_fac * sv.interior(state, lvl, "rhs"))
-            rho = _sharpen_rho(rho)
-            phi_g = _fft_convolve(rho, self.cache.kernel_hat)
+            if self.kernel == "igf":
+                rho = _sharpen_rho(rho)  # spectral needs raw samples
+            phi_g = _fft_convolve(rho, self.cache.kernel_hat,
+                                  self.cache.pad_shape)
             self.cache.phi_global = phi_g
 
             # boundary planes by face averaging (:167-174)
@@ -483,9 +564,17 @@ class FreeSpacePoisson3DDense:
         return state, res
 
 
-def make_free_space(solver, max_fft_frac: float = 0.15):
-    """Free-space driver matching the solver type (boxed or dense)."""
+def make_free_space(solver, max_fft_frac: float = 0.15,
+                    kernel: str = "igf"):
+    """Free-space driver matching the solver type (boxed or dense).
+
+    kernel="igf" (default): integrated Green's function + quadrature
+    sharpening, ~4th order — right for the MG path (the boundary-plane
+    interpolation is 2nd order anyway).  kernel="spectral": the
+    Vico-Greengard truncated kernel, reference-ISF accuracy class for
+    smooth compact charge — right when the FFT level IS the top level
+    (standalone FFT solve), at ~2.6x the FFT extent."""
     from .dense import DenseMGSolver
     if isinstance(solver, DenseMGSolver):
-        return FreeSpacePoisson3DDense(solver, max_fft_frac)
-    return FreeSpacePoisson3D(solver, max_fft_frac)
+        return FreeSpacePoisson3DDense(solver, max_fft_frac, kernel)
+    return FreeSpacePoisson3D(solver, max_fft_frac, kernel)

@@ -96,6 +96,49 @@ def test_standalone_fft_accuracy():
     assert errs[32] / errs[64] > 10.0, errs  # ~4th order
 
 
+def test_standalone_fft_spectral_accuracy():
+    """kernel="spectral" (Vico-Greengard truncated kernel) reaches the
+    reference ISF kernel's accuracy class (~1e-12 for this Gaussian vs
+    ~1e-14 in acc_F.20-100.ref; sampled-1/r IGF: ~5e-6)."""
+    from octree_mg_tpu.solve.free_space import (_fft_convolve,
+                                                _green_kernel_hat_spectral)
+    for N in (32, 64):
+        h = 1.0 / N
+        x = (np.arange(N) + 0.5) * h
+        X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+        pts = np.stack([X, Y, Z], axis=-1)
+        rho = gaussian_rhs(pts) * (-1 / (4 * np.pi))
+        khat, ps = _green_kernel_hat_spectral(np.array([N] * 3),
+                                              np.array([h] * 3))
+        phi = np.asarray(_fft_convolve(jnp.asarray(rho.transpose(2, 1, 0)),
+                                       khat, ps)).transpose(2, 1, 0)
+        err = float(np.max(np.abs(phi - analytic_solution(pts))))
+        assert err < 1e-10, (N, err)
+
+
+def test_dense_driver_spectral_fft_only():
+    """End-to-end dense driver with kernel="spectral" and the FFT level
+    forced to the top (max_fft_frac=1.0): the returned phi IS the
+    spectral solve, at the reference's standalone-FFT accuracy class."""
+    from octree_mg_tpu import DenseMGSolver
+    from octree_mg_tpu.solve.free_space import make_free_space
+    size, box = 32, 8
+    dsz = np.full(3, size)
+    tree = build_rectangle(3, dsz, box, 1.0 / dsz, np.zeros(3))
+    solver = DenseMGSolver(tree, MGConfig(operator="laplacian"))
+    fs = make_free_space(solver, max_fft_frac=1.0, kernel="spectral")
+    top = solver.levels[-1]
+    assert fs.fft_lvl == top
+    state = solver.allocate()
+    x = solver.cell_centers(top)
+    state = solver.set_interior(state, top, "rhs",
+                                jnp.asarray(gaussian_rhs(x)))
+    state, _ = fs.solve(state, new_rhs=True)
+    phi = np.asarray(solver.interior(state, top, "phi"))
+    err = float(np.max(np.abs(phi - analytic_solution(x))))
+    assert err < 1e-10, err
+
+
 def run_case_dense(size, box, n_its=5):
     from octree_mg_tpu import DenseMGSolver
     from octree_mg_tpu.solve.free_space import (FreeSpacePoisson3DDense,
