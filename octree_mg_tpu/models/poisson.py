@@ -142,7 +142,8 @@ class PoissonSolver:
         return np.asarray(self.state["cc"][lvl][IPHI])
 
     # -- f64-class solve at f32 speed (TPU) -------------------------------
-    def solve_refined(self, rhs, n_outer: int = 8, rtol: float = 0.0
+    def solve_refined(self, rhs, n_outer: int = 8, rtol: float = 0.0,
+                      bc_values: Optional[Sequence[float]] = None
                       ) -> Tuple[np.ndarray, dict]:
         """Iteratively-refined solve to the f64 accuracy class with f32
         kernels (solve/refine.RefinedPoisson; the reference is f64
@@ -153,7 +154,10 @@ class PoissonSolver:
         exact f32 pair), or an (rhs_hi, rhs_lo) f32 pair.  Requires the
         dense 3D path and the df32 gate (power-of-two 1/dx^2,
         constant-coefficient laplacian — `octree_mg_tpu.df32_ok`).
-        Returns (phi as float64 [Z, Y, X], info with the f64-class
+        Inhomogeneous boundary values go through ``bc_values`` (6 face
+        constants); the solver's own BCs must be set with value 0 (the
+        inner loop solves the homogeneous error equation).  Returns
+        (phi as float64 [Z, Y, X], info with the f64-class
         outer-residual history)."""
         from ..ops.df32 import split_f64
         from ..solve.refine import RefinedPoisson
@@ -164,7 +168,7 @@ class PoissonSolver:
             rhs_hi, rhs_lo = rhs
         else:
             rhs_hi, rhs_lo = split_f64(np.asarray(rhs, np.float64))
-        rp = RefinedPoisson(self.solver)
+        rp = RefinedPoisson(self.solver, bc_values=bc_values)
         xhi, xlo, norms, state = rp.solve(state, rhs_hi, rhs_lo,
                                           n_outer=n_outer, rtol=rtol)
         self.state = state

@@ -127,11 +127,16 @@ def df32_ok(cfg: dk.DenseStencilConfig) -> bool:
     return True
 
 
-def _cb_pairs(cfg) -> List[Tuple[float, float]]:
-    """Host-side exact split of the c0*b boundary constants."""
+def _cb_pairs(cfg, b_values=None) -> List[Tuple[float, float]]:
+    """Host-side exact split of the c0*b boundary constants.
+
+    b_values overrides cfg.b_const: iterative refinement keeps the TRUE
+    inhomogeneous boundary values in the outer residual only, while the
+    inner solver runs the homogeneous error equation (solve/refine)."""
+    bs = cfg.b_const if b_values is None else list(b_values)
     out = []
     for nb in range(6):
-        b = cfg.b_const[nb]
+        b = bs[nb]
         c0 = cfg.bc[nb][0] if not cfg.periodic[nb // 2] else 0.0
         hi, lo = split_f64(np.float64(c0) * np.float64(b if b is not None
                                                        else 0.0))
@@ -210,7 +215,7 @@ def _df32_expr(cfg, xhi, xlo, rhshi, rhslo, masks, cbs, interpret):
 
 
 def residual_df32(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi, rhslo,
-                  z_gates=None):
+                  z_gates=None, cbs=None):
     """r_hi ~= (rhshi + rhslo) - A(xhi + xlo), exact to the double-float
     representation (see module docstring).  Inputs are padded arrays in
     the dense layout; pads follow the usual garbage-by-contract rules
@@ -222,11 +227,11 @@ def residual_df32(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi, rhslo,
     g = dk._full_iotas(cfg)
     masks = dk._face_masks(cfg, g, z_gates)
     return _df32_expr(cfg, xhi, xlo, rhshi, rhslo, masks,
-                      _cb_pairs(cfg), True)
+                      cbs if cbs is not None else _cb_pairs(cfg), True)
 
 
 def residual_df32_dense(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi,
-                        rhslo, z_gates=None):
+                        rhslo, z_gates=None, cbs=None):
     """Mosaic rendering of residual_df32: one window-DMA pass over the
     four inputs (x_lo and rhs_lo ride the kernel machinery's
     coefficient-window plumbing, which slices them with the same halo
@@ -234,12 +239,13 @@ def residual_df32_dense(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi,
     shapes.  Bitwise-identical to residual_df32 (tests/test_df32.py)."""
     assert df32_ok(cfg), "residual_df32_dense called outside its gate"
     if not cfg.use_kernel:
-        return residual_df32(cfg, xhi, xlo, rhshi, rhslo, z_gates)
+        return residual_df32(cfg, xhi, xlo, rhshi, rhslo, z_gates, cbs)
     kcfg = dk.DenseStencilConfig(
         dims=cfg.dims, idr2=cfg.idr2, bc=cfg.bc, periodic=cfg.periodic,
         dtype=cfg.dtype, b_const=cfg.b_const, interpret=cfg.interpret,
         n_eps=2)
-    cbs = _cb_pairs(cfg)
+    if cbs is None:
+        cbs = _cb_pairs(cfg)
 
     def body(p, r, lam_s, masks, g, bpw, epw):
         xlo_w, rhslo_w = epw

@@ -29,8 +29,8 @@ import numpy as np
 from jax import lax
 
 from ..ops import dense_kernels as dk
-from ..ops.df32 import (accumulate_df32, df32_ok, residual_df32,
-                        residual_df32_dense)
+from ..ops.df32 import (_cb_pairs, accumulate_df32, df32_ok,
+                        residual_df32, residual_df32_dense)
 from .dense import DenseMGSolver, _ISL
 
 
@@ -41,7 +41,8 @@ class RefinedPoisson:
     ``solve`` calls (bench-friendly).
     """
 
-    def __init__(self, solver: DenseMGSolver, nch: Optional[int] = None):
+    def __init__(self, solver: DenseMGSolver, nch: Optional[int] = None,
+                 bc_values: Optional[List[float]] = None):
         self.solver = solver
         top = solver.levels[-1]
         self.top = top
@@ -51,6 +52,21 @@ class RefinedPoisson:
                              "solver (build with MGConfig(dtype="
                              "jnp.float32)); got %s" % cfg.dtype)
         assert df32_ok(cfg), "rhs/operator outside the df32 gate"
+        # Refinement solves the error equation, which is HOMOGENEOUS:
+        # the inner FMG must carry b = 0 on every face (else each outer
+        # pass re-adds the boundary offset and the loop stalls at the
+        # inhomogeneity).  The TRUE boundary values enter through the
+        # outer residual only (bc_values -> the c0*b pairs of ops.df32).
+        for nb in range(6):
+            if cfg.periodic[nb // 2]:
+                continue
+            if float(cfg.b_const[nb]) != 0.0:
+                raise ValueError(
+                    "inner solver must have homogeneous (b=0) BCs; set "
+                    "the boundary value to 0 on the solver and pass the "
+                    "true values via bc_values= (face %d has b=%r)"
+                    % (nb, cfg.b_const[nb]))
+        self.cbs = _cb_pairs(cfg, bc_values)
         self.cfg = cfg
         X, Y, Z = (int(v) for v in solver.dims[top])
         self.shape = (Z, Y, X)
@@ -81,11 +97,11 @@ class RefinedPoisson:
             if self.cfg.use_kernel:
                 # Mosaic path: one window-DMA pass, no chunking needed
                 ri = residual_df32_dense(self.cfg, xhi, xlo, rhshi_p,
-                                         rhslo_p)[_ISL]
+                                         rhslo_p, cbs=self.cbs)[_ISL]
                 return jnp.max(jnp.abs(ri)), ri
             if nch == 1:
                 ri = residual_df32(self.cfg, xhi, xlo, rhshi_p,
-                                   rhslo_p)[_ISL]
+                                   rhslo_p, cbs=self.cbs)[_ISL]
                 return jnp.max(jnp.abs(ri)), ri
 
             def chunk(i, carry):
@@ -94,7 +110,8 @@ class RefinedPoisson:
                                               axis=0)
                      for a in (xhi, xlo, rhshi_p, rhslo_p)]
                 r = residual_df32(self.ccfg, *w,
-                                  z_gates=(i == 0, i == nch - 1))
+                                  z_gates=(i == 0, i == nch - 1),
+                                  cbs=self.cbs)
                 ri = r[_ISL]
                 mx = jnp.maximum(mx, jnp.max(jnp.abs(ri)))
                 out = lax.dynamic_update_slice_in_dim(out, ri, i * CH,
@@ -130,10 +147,36 @@ class RefinedPoisson:
             xhi = solver._sync_pads(xhi, top)
             xlo = solver._sync_pads(xlo, top)
             ri = residual_df32_dense(self.cfg, xhi, xlo, rhshi_p,
-                                     rhslo_p)[_ISL]
+                                     rhslo_p, cbs=self.cbs)[_ISL]
             mx = jnp.max(jnp.abs(ri))
             return xhi, xlo, rhs_buf.at[_ISL].set(ri), mx
         return f
+
+    def _zeros_padded(self):
+        return jnp.zeros(self.pshape, jnp.float32)
+
+    def _interior(self, a):
+        return a[_ISL]
+
+    def _solve_fused(self, state, rhshi_p, rhslo_p, n_outer, rtol):
+        """Fused-step loop: 2 dispatches per outer (step + FMG)."""
+        solver, top = self.solver, self.top
+        xhi = self._zeros_padded()
+        xlo = self._zeros_padded()
+        e32 = self._zeros_padded()
+        norms: List[float] = []
+        state = dict(state)
+        state["rhs"] = dict(state["rhs"])
+        for i in range(n_outer + 1):
+            xhi, xlo, rhs_new, mx = self._jit_step(
+                xhi, xlo, state["rhs"][top], e32, rhshi_p, rhslo_p)
+            state["rhs"][top] = rhs_new
+            norms.append(float(mx))
+            if i == n_outer or (rtol and norms[-1] <= rtol * norms[0]):
+                break
+            state, _ = solver.fas_fmg(state, need_res=False)
+            e32 = state["phi"][top]
+        return self._interior(xhi), self._interior(xlo), norms, state
 
     def solve(self, state, rhs_hi, rhs_lo, n_outer: int = 8,
               rtol: float = 0.0):
@@ -143,25 +186,12 @@ class RefinedPoisson:
         solver, top = self.solver, self.top
         rhshi_p = self.pad(rhs_hi)
         rhslo_p = self.pad(rhs_lo)
+        if self.cfg.use_kernel:
+            return self._solve_fused(state, rhshi_p, rhslo_p, n_outer,
+                                     rtol)
         xhi = jnp.zeros(self.pshape, jnp.float32)
         xlo = jnp.zeros(self.pshape, jnp.float32)
         norms: List[float] = []
-        if self.cfg.use_kernel:
-            # fused-step loop: 2 dispatches per outer (step + FMG)
-            e32 = jnp.zeros(self.pshape, jnp.float32)
-            state = dict(state)
-            state["rhs"] = dict(state["rhs"])
-            for i in range(n_outer + 1):
-                xhi, xlo, rhs_new, mx = self._jit_step(
-                    xhi, xlo, state["rhs"][top], e32, rhshi_p, rhslo_p)
-                state["rhs"][top] = rhs_new
-                norms.append(float(mx))
-                if i == n_outer or (rtol
-                                    and norms[-1] <= rtol * norms[0]):
-                    break
-                state, _ = solver.fas_fmg(state, need_res=False)
-                e32 = state["phi"][top]
-            return xhi[_ISL], xlo[_ISL], norms, state
         for _ in range(n_outer):
             mx, r32 = self._jit_residual(xhi, xlo, rhshi_p, rhslo_p)
             norms.append(float(mx))
@@ -175,10 +205,105 @@ class RefinedPoisson:
         return xhi[_ISL], xlo[_ISL], norms, state
 
 
+class ShardedRefinedPoisson(RefinedPoisson):
+    """Iterative refinement over :class:`ShardedDenseMGSolver`: the
+    fused outer step runs inside ``shard_map`` on the z-slab layout —
+    double-float accumulation, ppermute halo exchange, the df32
+    residual with per-shard z gates, a ``pmax`` norm, and the rhs
+    write.  The inner FMG is the sharded solver's own.  Bitwise vs the
+    single-device RefinedPoisson (tests/test_dense_shard.py)."""
+
+    def __init__(self, solver, bc_values: Optional[List[float]] = None):
+        from .dense_shard import ShardedDenseMGSolver
+        assert isinstance(solver, ShardedDenseMGSolver)
+        super().__init__(solver, nch=1, bc_values=bc_values)
+        self.sharded_top = solver.sharded[self.top]
+        if self.sharded_top:
+            Z, Y, X = self.shape
+            K = solver.K
+            self.pshape = (K, Z // K + 2 * dk.PZ, Y + 2 * dk.PY, X)
+            self._isl4 = (slice(None), slice(dk.PZ, -dk.PZ),
+                          slice(dk.PY, -dk.PY), slice(None))
+
+    def pad(self, v):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .dense_shard import AXIS
+        sv = self.solver
+        if not self.sharded_top:
+            return jax.device_put(super().pad(v),
+                                  NamedSharding(sv.mesh, P()))
+        Z, Y, X = self.shape
+        K = sv.K
+        a = jnp.zeros(self.pshape, jnp.float32).at[self._isl4].set(
+            jnp.asarray(v, jnp.float32).reshape(K, Z // K, Y, X))
+        return jax.device_put(a, NamedSharding(sv.mesh, P(AXIS)))
+
+    def _zeros_padded(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .dense_shard import AXIS
+        sp = P(AXIS) if self.sharded_top else P()
+        return jax.device_put(jnp.zeros(self.pshape, jnp.float32),
+                              NamedSharding(self.solver.mesh, sp))
+
+    def _interior(self, a):
+        if not self.sharded_top:
+            return a[_ISL]
+        Z, Y, X = self.shape
+        return a[self._isl4].reshape(Z, Y, X)
+
+    @functools.cached_property
+    def _jit_step(self):
+        from jax.sharding import PartitionSpec as P
+        from .dense_shard import AXIS
+        solver, top, cfg = self.solver, self.top, self.cfg
+        if not self.sharded_top:
+            # replicated top: the plain step runs under GSPMD as-is
+            return RefinedPoisson._jit_step.func(self)
+
+        def local(xhi, xlo, rhs_buf, e32, rhi, rlo):
+            xhi, xlo, rhs_buf, e32, rhi, rlo = (
+                a[0] for a in (xhi, xlo, rhs_buf, e32, rhi, rlo))
+            solver._ctx = {"idx": lax.axis_index(AXIS)}
+            try:
+                xhi, xlo = accumulate_df32(xhi, xlo, e32)
+                xhi = solver._sync_pads(xhi, top)
+                xlo = solver._sync_pads(xlo, top)
+                ri = residual_df32_dense(cfg, xhi, xlo, rhi, rlo,
+                                         z_gates=solver._gates(top),
+                                         cbs=self.cbs)[_ISL]
+                mx = lax.pmax(jnp.max(jnp.abs(ri)), AXIS)
+                rhs_buf = rhs_buf.at[_ISL].set(ri)
+            finally:
+                solver._ctx = None
+            return xhi[None], xlo[None], rhs_buf[None], mx
+
+        sp = P(AXIS)
+
+        def run(xhi, xlo, rhs_buf, e32, rhi, rlo):
+            f = jax.shard_map(local, mesh=solver.mesh,
+                              in_specs=(sp,) * 6,
+                              out_specs=(sp, sp, sp, P()),
+                              check_vma=False)
+            return f(xhi, xlo, rhs_buf, e32, rhi, rlo)
+
+        return jax.jit(run, donate_argnums=(0, 1, 2))
+
+    def solve(self, state, rhs_hi, rhs_lo, n_outer: int = 8,
+              rtol: float = 0.0):
+        rhshi_p = self.pad(rhs_hi)
+        rhslo_p = self.pad(rhs_lo)
+        return self._solve_fused(state, rhshi_p, rhslo_p, n_outer, rtol)
+
+
 def solve_refined(solver: DenseMGSolver, state, rhs_hi, rhs_lo,
                   n_outer: int = 8, rtol: float = 0.0,
-                  nch: Optional[int] = None):
-    """One-shot convenience wrapper around :class:`RefinedPoisson`."""
-    return RefinedPoisson(solver, nch=nch).solve(state, rhs_hi, rhs_lo,
-                                                 n_outer=n_outer,
-                                                 rtol=rtol)
+                  nch: Optional[int] = None,
+                  bc_values: Optional[List[float]] = None):
+    """One-shot convenience wrapper: picks the sharded or single-device
+    refinement driver by solver type."""
+    from .dense_shard import ShardedDenseMGSolver
+    if isinstance(solver, ShardedDenseMGSolver):
+        return ShardedRefinedPoisson(solver, bc_values=bc_values).solve(
+            state, rhs_hi, rhs_lo, n_outer=n_outer, rtol=rtol)
+    return RefinedPoisson(solver, nch=nch, bc_values=bc_values).solve(
+        state, rhs_hi, rhs_lo, n_outer=n_outer, rtol=rtol)

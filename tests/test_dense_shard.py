@@ -251,3 +251,38 @@ def test_overlap_structure_exchange_feeds_edges_only(monkeypatch):
         if s < K - 1:
             assert nan_mask[z1 - 2:z1].any(), (
                 f"shard {s}: hi edge never consumed the exchange")
+
+
+def test_sharded_refined_matches_single():
+    """ShardedRefinedPoisson (df32 outer step inside shard_map: halo
+    ppermute, per-shard z gates, pmax norm) matches the single-device
+    refinement driver bitwise and reaches the f64 accuracy class."""
+    from octree_mg_tpu.ops.df32 import split_f64
+    from octree_mg_tpu.solve.refine import (RefinedPoisson,
+                                            ShardedRefinedPoisson)
+    size = 32
+    dsz = np.full(3, size)
+    tree = build_rectangle(3, dsz, 8, 1.0 / dsz, np.zeros(3))
+    cfg32 = MGConfig(operator="laplacian", dtype=jnp.float32)
+    sd = DenseMGSolver(tree, cfg32)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("z",))
+    ss = ShardedDenseMGSolver(tree, MGConfig(operator="laplacian",
+                                             dtype=jnp.float32),
+                              mesh=mesh)
+    sd.set_bc(0, BCType.DIRICHLET, 0.0)
+    ss.set_bc(0, BCType.DIRICHLET, 0.0)
+    bvals = [0.5, -0.25, 0.1, 0.3, 0.0, 1.0]  # true inhomogeneous BCs
+    top = sd.levels[-1]
+    assert ss.sharded[top]
+    rng = np.random.default_rng(9)
+    rhs64 = rng.normal(size=(size,) * 3)
+    rhi, rlo = split_f64(rhs64)
+
+    xhi_d, xlo_d, norms_d, _ = RefinedPoisson(sd, bc_values=bvals).solve(
+        sd.allocate(), rhi, rlo, n_outer=8)
+    xhi_s, xlo_s, norms_s, _ = ShardedRefinedPoisson(
+        ss, bc_values=bvals).solve(ss.allocate(), rhi, rlo, n_outer=8)
+    assert norms_s[-1] <= 1e-10 * norms_s[0], norms_s
+    assert norms_d == norms_s, (norms_d, norms_s)
+    assert np.array_equal(np.asarray(xhi_d), np.asarray(xhi_s))
+    assert np.array_equal(np.asarray(xlo_d), np.asarray(xlo_s))

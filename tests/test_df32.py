@@ -262,6 +262,32 @@ def test_solve_refined_fused_kernel_path():
     assert norms[-1] <= 1e-10 * norms[0], norms
 
 
+def test_solve_refined_inhomogeneous_bc():
+    """Inhomogeneous BCs through bc_values: the inner FMG runs the
+    HOMOGENEOUS error equation, the true boundary values live in the
+    outer residual, and the converged solution satisfies the f64
+    inhomogeneous operator.  (Passing nonzero b on the inner solver
+    instead stalls the loop — that misconfiguration is rejected.)"""
+    bvals = [0.5, -0.25, 0.1, 0.3, 0.0, 1.0]
+    sv = mk_solver(bc=[(BCType.DIRICHLET, 0.0)] * 6)
+    st = sv.allocate()
+    rng = np.random.default_rng(13)
+    rhs64 = rng.normal(size=(SIZE,) * 3)
+    rhi, rlo = split_f64(rhs64)
+    xhi, xlo, norms, st = solve_refined(sv, st, rhi, rlo, n_outer=8,
+                                        nch=4, bc_values=bvals)
+    assert norms[-1] <= 1e-10 * norms[0], norms
+    # the converged x satisfies the TRUE (inhomogeneous) f64 operator
+    sv_true = mk_solver(bc=[(BCType.DIRICHLET, v) for v in bvals])
+    x64 = np.asarray(xhi, np.float64) + np.asarray(xlo, np.float64)
+    r64 = f64_residual(sv_true, x64, rhs64)
+    assert np.max(np.abs(r64)) <= 1e-8 * norms[0]
+    # misconfiguration (nonzero b on the inner solver) is rejected
+    from octree_mg_tpu.solve.refine import RefinedPoisson
+    with pytest.raises(ValueError, match="homogeneous"):
+        RefinedPoisson(sv_true)
+
+
 def test_df32_gate():
     sv = mk_solver()
     assert df32_ok(sv._kcfgs[sv.levels[-1]])
