@@ -33,6 +33,7 @@ def main():
     box_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     fft_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.15
+    kernel = sys.argv[4] if len(sys.argv) > 4 else "igf"  # or "spectral"
 
     dsz = np.full(3, size)
     tree = build_rectangle(3, dsz, box_size, 1.0 / dsz, np.zeros(3))
@@ -47,7 +48,8 @@ def main():
                     * np.exp(-(r[isl] / SIGMA) ** 2))
         state["cc"][lvl] = state["cc"][lvl].at[IRHS].set(jnp.asarray(rhs))
 
-    fs = FreeSpacePoisson3D(solver, max_fft_frac=fft_frac)
+    fs = FreeSpacePoisson3D(solver, max_fft_frac=fft_frac,
+                            kernel=kernel)
     top = solver.levels[-1]
     x = solver.cell_centers(top)
     r = np.linalg.norm(x - R0, axis=-1)

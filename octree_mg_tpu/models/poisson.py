@@ -160,15 +160,19 @@ class PoissonSolver:
         (phi as float64 [Z, Y, X], info with the f64-class
         outer-residual history)."""
         from ..ops.df32 import split_f64
-        from ..solve.refine import RefinedPoisson
+        from ..solve.dense2d import Dense2DMGSolver
+        from ..solve.refine import RefinedPoisson, RefinedPoisson2D
         if not (self.dense and hasattr(self.solver, "_kcfgs")):
-            raise ValueError("solve_refined requires the dense 3D path")
+            raise ValueError("solve_refined requires a dense fast path")
         state = self._ensure_state()
         if isinstance(rhs, tuple):
             rhs_hi, rhs_lo = rhs
         else:
             rhs_hi, rhs_lo = split_f64(np.asarray(rhs, np.float64))
-        rp = RefinedPoisson(self.solver, bc_values=bc_values)
+        cls = (RefinedPoisson2D if isinstance(self.solver,
+                                              Dense2DMGSolver)
+               else RefinedPoisson)
+        rp = cls(self.solver, bc_values=bc_values)
         xhi, xlo, norms, state = rp.solve(state, rhs_hi, rhs_lo,
                                           n_outer=n_outer, rtol=rtol)
         self.state = state

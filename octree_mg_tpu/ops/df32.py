@@ -128,14 +128,15 @@ def df32_ok(cfg: dk.DenseStencilConfig) -> bool:
 
 
 def _cb_pairs(cfg, b_values=None) -> List[Tuple[float, float]]:
-    """Host-side exact split of the c0*b boundary constants.
+    """Host-side exact split of the c0*b boundary constants (2*ndim
+    faces — works for the 2D and 3D configs alike).
 
     b_values overrides cfg.b_const: iterative refinement keeps the TRUE
     inhomogeneous boundary values in the outer residual only, while the
     inner solver runs the homogeneous error equation (solve/refine)."""
     bs = cfg.b_const if b_values is None else list(b_values)
     out = []
-    for nb in range(6):
+    for nb in range(len(cfg.b_const)):
         b = bs[nb]
         c0 = cfg.bc[nb][0] if not cfg.periodic[nb // 2] else 0.0
         hi, lo = split_f64(np.float64(c0) * np.float64(b if b is not None
@@ -255,3 +256,91 @@ def residual_df32_dense(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi,
     return dk._call_kernel(kcfg, body, xhi, rhshi,
                            jnp.zeros((), cfg.dtype), [None] * 6,
                            z_gates, hz=1, eps=(xlo, rhslo))
+
+
+# ---------------------------------------------------------------------------
+# 2D (the dense [Y, X] path — pure XLA, no pads: rolls wrap exactly)
+# ---------------------------------------------------------------------------
+
+def df32_ok_2d(cfg) -> bool:
+    """The 2D gate: cartesian constant-coefficient laplacian with equal
+    power-of-two 1/dx^2 and exact BC coefficient classes (the 2D den0
+    = 4/dx^2 is itself a power of two — no splitting needed)."""
+    if cfg.n_eps or cfg.cyl_w is not None:
+        return False
+    if len(set(cfg.idr2)) != 1 or not _is_pow2(cfg.idr2[0]):
+        return False
+    for d in range(2):
+        if cfg.periodic[d]:
+            continue
+        for nb in (2 * d, 2 * d + 1):
+            c0, c1, c2 = cfg.bc[nb]
+            if c1 not in _OK_C or c2 not in _OK_C:
+                return False
+            if cfg.b_const[nb] is None:
+                return False
+    return True
+
+
+def residual_df32_2d(cfg, xhi, xlo, rhshi, rhslo, cbs=None):
+    """r_hi ~= (rhshi + rhslo) - A(xhi + xlo) on the dense 2D [Y, X]
+    layout — the 2D rendering of :func:`residual_df32` (same error-free
+    transformation structure, exactness argument and two_sum operand
+    convention; ops/dense2d._neighbor_ops ghost recipe)."""
+    from . import dense2d as d2
+    assert df32_ok_2d(cfg), "residual_df32_2d called outside its gate"
+    if cbs is None:
+        cbs = _cb_pairs(cfg)
+    masks = d2._face_masks(cfg)
+    idr2 = cfg.idr2[0]
+
+    comp = jnp.zeros_like(xhi)
+    s = rhshi
+    alo = jnp.zeros_like(xhi)
+    for d in (0, 1):
+        axis = 1 - d
+        rlo_h = jnp.roll(xhi, +1, axis=axis)
+        rhi_h = jnp.roll(xhi, -1, axis=axis)
+        rlo_l = jnp.roll(xlo, +1, axis=axis)
+        rhi_l = jnp.roll(xlo, -1, axis=axis)
+        vlo_h, vhi_h, vlo_l, vhi_l = rlo_h, rhi_h, rlo_l, rhi_l
+        if masks[d] is not None:
+            m_lo, m_hi = masks[d]
+            c0l, c1l, c2l = cfg.bc[2 * d]
+            c0h, c1h, c2h = cfg.bc[2 * d + 1]
+            cbl_h, cbl_l = cbs[2 * d]
+            cbh_h, cbh_l = cbs[2 * d + 1]
+
+            gv, ge = two_sum(c1l * xhi, cbl_h)  # traced first (two_sum)
+            if c2l != 0.0:
+                gv, e2 = two_sum(gv, c2l * rhi_h)
+                ge = ge + e2
+            ge = ge + cbl_l
+            vlo_h = jnp.where(m_lo, gv, rlo_h)
+            vlo_l = jnp.where(m_lo, c1l * xlo
+                              + (c2l * rhi_l if c2l != 0.0 else 0.0),
+                              rlo_l)
+            e_lo = jnp.where(m_lo, ge, 0.0)
+
+            gv, ge = two_sum(c1h * xhi, cbh_h)
+            if c2h != 0.0:
+                gv, e2 = two_sum(gv, c2h * rlo_h)
+                ge = ge + e2
+            ge = ge + cbh_l
+            vhi_h = jnp.where(m_hi, gv, rhi_h)
+            vhi_l = jnp.where(m_hi, c1h * xlo
+                              + (c2h * rlo_l if c2h != 0.0 else 0.0),
+                              rhi_l)
+            e_hi = jnp.where(m_hi, ge, 0.0)
+            comp = comp - idr2 * (e_lo + e_hi)
+        sd, ed = two_sum(vlo_h, vhi_h)
+        s, e = two_sum(s, -(idr2 * sd))
+        comp = comp + (e - idr2 * ed)
+        alo = alo + idr2 * (vlo_l + vhi_l)
+
+    # + den0 * x with den0 = 4*idr2 (a power of two: one exact product)
+    s, e = two_sum(s, (4.0 * idr2) * xhi)
+    comp = comp + e
+    comp = comp + rhslo - (alo - (4.0 * idr2) * xlo)
+    r_hi, _ = two_sum(s, comp)
+    return r_hi

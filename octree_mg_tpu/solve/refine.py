@@ -295,15 +295,88 @@ class ShardedRefinedPoisson(RefinedPoisson):
         return self._solve_fused(state, rhshi_p, rhslo_p, n_outer, rtol)
 
 
+class RefinedPoisson2D:
+    """Iterative refinement on the dense 2D [Y, X] path (pure XLA, no
+    pads: rolls wrap exactly, so the step is one fused elementwise
+    chain).  Distributes under GSPMD y-slab placement unchanged — the
+    step inherits the state's shardings."""
+
+    def __init__(self, solver, bc_values: Optional[List[float]] = None):
+        from ..ops.df32 import df32_ok_2d
+        from .dense2d import Dense2DMGSolver
+        assert isinstance(solver, Dense2DMGSolver)
+        self.solver = solver
+        top = solver.levels[-1]
+        self.top = top
+        cfg = solver._kcfgs[top]
+        if cfg.dtype != jnp.float32:
+            raise ValueError("RefinedPoisson2D refines an f32 inner "
+                             "solver; got %s" % cfg.dtype)
+        assert df32_ok_2d(cfg), "rhs/operator outside the 2D df32 gate"
+        for nb in range(4):
+            if cfg.periodic[nb // 2]:
+                continue
+            if float(cfg.b_const[nb]) != 0.0:
+                raise ValueError(
+                    "inner solver must have homogeneous (b=0) BCs; pass "
+                    "the true values via bc_values= (face %d has b=%r)"
+                    % (nb, cfg.b_const[nb]))
+        self.cbs = _cb_pairs(cfg, bc_values)
+        self.cfg = cfg
+        X, Y = cfg.X, cfg.Y
+        self.shape = (Y, X)
+
+    @functools.cached_property
+    def _jit_step(self):
+        from ..ops.df32 import residual_df32_2d
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def f(xhi, xlo, e32, rhi, rlo):
+            xhi, xlo = accumulate_df32(xhi, xlo, e32)
+            ri = residual_df32_2d(cfg, xhi, xlo, rhi, rlo, cbs=self.cbs)
+            return xhi, xlo, ri, jnp.max(jnp.abs(ri))
+        return f
+
+    def solve(self, state, rhs_hi, rhs_lo, n_outer: int = 8,
+              rtol: float = 0.0):
+        """rhs_hi/rhs_lo: [Y, X] f32 pair.  Returns (x_hi, x_lo,
+        residual-max history, state)."""
+        solver, top = self.solver, self.top
+        like = state["rhs"][top]  # carries the GSPMD placement, if any
+        to_dev = lambda v: jax.device_put(
+            jnp.asarray(v, jnp.float32), like.sharding)
+        rhi, rlo = to_dev(rhs_hi), to_dev(rhs_lo)
+        xhi = to_dev(jnp.zeros(self.shape, jnp.float32))
+        xlo = to_dev(jnp.zeros(self.shape, jnp.float32))
+        e32 = to_dev(jnp.zeros(self.shape, jnp.float32))
+        norms: List[float] = []
+        state = dict(state)
+        state["rhs"] = dict(state["rhs"])
+        for i in range(n_outer + 1):
+            xhi, xlo, ri, mx = self._jit_step(xhi, xlo, e32, rhi, rlo)
+            state["rhs"][top] = ri
+            norms.append(float(mx))
+            if i == n_outer or (rtol and norms[-1] <= rtol * norms[0]):
+                break
+            state, _ = solver.fas_fmg(state, need_res=False)
+            e32 = state["phi"][top]
+        return xhi, xlo, norms, state
+
+
 def solve_refined(solver: DenseMGSolver, state, rhs_hi, rhs_lo,
                   n_outer: int = 8, rtol: float = 0.0,
                   nch: Optional[int] = None,
                   bc_values: Optional[List[float]] = None):
-    """One-shot convenience wrapper: picks the sharded or single-device
+    """One-shot convenience wrapper: picks the sharded, 2D, or plain
     refinement driver by solver type."""
+    from .dense2d import Dense2DMGSolver
     from .dense_shard import ShardedDenseMGSolver
     if isinstance(solver, ShardedDenseMGSolver):
         return ShardedRefinedPoisson(solver, bc_values=bc_values).solve(
+            state, rhs_hi, rhs_lo, n_outer=n_outer, rtol=rtol)
+    if isinstance(solver, Dense2DMGSolver):
+        return RefinedPoisson2D(solver, bc_values=bc_values).solve(
             state, rhs_hi, rhs_lo, n_outer=n_outer, rtol=rtol)
     return RefinedPoisson(solver, nch=nch, bc_values=bc_values).solve(
         state, rhs_hi, rhs_lo, n_outer=n_outer, rtol=rtol)

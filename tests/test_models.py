@@ -84,3 +84,17 @@ def test_poisson_model_solve_refined():
     assert phi.dtype == np.float64
     r = info["residuals"]
     assert r[-1] <= 1e-10 * r[0], r
+
+
+def test_poisson_model_solve_refined_2d():
+    """2D solve_refined routes to RefinedPoisson2D through the model."""
+    import jax.numpy as jnp
+    from octree_mg_tpu import Dense2DMGSolver
+    ps = PoissonSolver(2, (64, 64), 16, dtype=jnp.float32)
+    assert isinstance(ps.solver, Dense2DMGSolver)
+    ps.set_dirichlet(0.0)
+    rng = np.random.default_rng(4)
+    phi, info = ps.solve_refined(rng.normal(size=(64, 64)), n_outer=8,
+                                 bc_values=[0.1, -0.2, 0.3, 0.0])
+    r = info["residuals"]
+    assert phi.dtype == np.float64 and r[-1] <= 1e-10 * r[0], r
