@@ -25,6 +25,8 @@ from .solve.dense2d import Dense2DMGSolver, dense2d_supported
 from .solve.dense_amr import DenseAMRMGSolver, dense_amr_supported
 from .solve.dense_amr2d import Dense2DAMRMGSolver, dense_amr2d_supported
 from .solve.dense_forest import DenseForestMGSolver, dense_forest_supported
+from .solve.dense_forest2d import (DenseForest2DMGSolver,
+                                   dense_forest2d_supported)
 from .solve.refine import (RefinedPoisson, RefinedPoisson2D,
                            ShardedRefinedPoisson, solve_refined)
 from .ops.df32 import df32_ok, df32_ok_2d, split_f64
@@ -41,6 +43,7 @@ __all__ = [
     "DenseAMRMGSolver", "dense_amr_supported",
     "Dense2DAMRMGSolver", "dense_amr2d_supported",
     "DenseForestMGSolver", "dense_forest_supported",
+    "DenseForest2DMGSolver", "dense_forest2d_supported",
     "RefinedPoisson", "RefinedPoisson2D", "ShardedRefinedPoisson",
     "solve_refined", "df32_ok", "df32_ok_2d", "split_f64",
 ]

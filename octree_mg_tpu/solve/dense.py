@@ -83,6 +83,10 @@ def make_solver(tree: Tree, config: Optional[MGConfig] = None):
     from .dense_forest import DenseForestMGSolver, dense_forest_supported
     if dense_forest_supported(tree, cfg):
         return DenseForestMGSolver(tree, cfg)
+    from .dense_forest2d import (DenseForest2DMGSolver,
+                                 dense_forest2d_supported)
+    if dense_forest2d_supported(tree, cfg):
+        return DenseForest2DMGSolver(tree, cfg)
     return MGSolver(tree, cfg)
 
 

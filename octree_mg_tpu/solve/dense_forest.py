@@ -294,7 +294,7 @@ def _forest_balanced(tree: Tree) -> bool:
     one (the reference ghost scheme handles one-level jumps only)."""
     for lvl in range(tree.lowest_lvl + 1, tree.highest_lvl + 1):
         for b in tree.lvls[lvl].ids:
-            for nb in range(6):
+            for nb in range(2 * tree.ndim):
                 if tree.neighbors[int(b), nb] == NO_BOX:
                     p = int(tree.parent[int(b)])
                     if tree.neighbors[p, nb] <= NO_BOX:
