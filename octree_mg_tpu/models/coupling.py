@@ -233,12 +233,24 @@ class HostCoupling:
             sv = self.solver
             key = _dense_key(sv, iv)
             ringed: Dict[int, np.ndarray] = {}
+            # forest solvers expose per-axis rings: at concave-corner
+            # conflict cells the exported face-d ghost must carry the
+            # axis-d value (per-box ghost storage semantics)
+            axes_fn = getattr(sv, "_var_with_ring_axes", None)
+            ringed_ax: Dict[int, Optional[List[np.ndarray]]] = {}
             for lvl in sv.levels:
                 if lvl < 1:
                     continue
                 if with_ghosts:
-                    ringed[lvl] = np.asarray(
-                        sv._var_with_ring(self.state, lvl, key))
+                    if axes_fn is not None:
+                        ringed_ax[lvl] = [
+                            np.asarray(v)
+                            for v in axes_fn(self.state, lvl, key)]
+                        ringed[lvl] = ringed_ax[lvl][0]
+                    else:
+                        ringed_ax[lvl] = None
+                        ringed[lvl] = np.asarray(
+                            sv._var_with_ring(self.state, lvl, key))
                 else:
                     ringed[lvl] = np.asarray(sv.interior(self.state,
                                                          lvl, key))
@@ -251,7 +263,17 @@ class HostCoupling:
                 else:
                     sl = tuple(slice(int(s[d]), int(s[d]) + nc)
                                for d in reversed(range(self.ndim)))
-                out[(lvl, tuple(np.asarray(ix)))] = ringed[lvl][sl]
+                w = ringed[lvl][sl]
+                if with_ghosts and ringed_ax.get(lvl) is not None:
+                    w = w.copy()
+                    for d in range(self.ndim):
+                        wa = ringed_ax[lvl][d][sl]
+                        ax = self.ndim - 1 - d
+                        for side in (0, -1):
+                            fsl = [slice(None)] * self.ndim
+                            fsl[ax] = side
+                            w[tuple(fsl)] = wa[tuple(fsl)]
+                out[(lvl, tuple(np.asarray(ix)))] = w
             return out
         for (lvl, ix), (l2, loc) in self._leaf_index.items():
             arr = np.asarray(self.state["cc"][l2][iv][loc])

@@ -759,6 +759,17 @@ class DenseForestMGSolver(DenseMGSolver):
     def _var_with_ring(self, state, lvl, key):
         return self._ext(state, lvl, key)
 
+    def _var_with_ring_axes(self, state, lvl, key):
+        """Per-axis ringed exports for the coupling layer: the face-d
+        ghosts of an exported leaf must carry axis-d values at
+        conflicted concave-corner cells (per-box ghost storage
+        semantics).  Conflict-free levels return one array thrice."""
+        if self.conflicts.get(lvl) is None:
+            e = self._ext(state, lvl, key)
+            return (e, e, e)
+        return tuple(self._ext(state, lvl, key, prefer=a)
+                     for a in range(3))
+
     # ------------------------------------------------------------------
     # cycle building blocks
     # ------------------------------------------------------------------

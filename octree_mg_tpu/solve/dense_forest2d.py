@@ -673,3 +673,14 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         A = (np.asarray(cols, np.float64).T
              - np.asarray(a0, np.float64)[:, None])
         return self._eigen_package(A)
+
+    def _var_with_ring_axes(self, state, lvl, key):
+        """Per-axis ringed exports for the coupling layer: the face-d
+        ghosts of an exported leaf must carry axis-d values at
+        conflicted concave-corner cells (per-box ghost storage
+        semantics).  Conflict-free levels return one array twice."""
+        if not self.conflicted.get(lvl):
+            e = self._ext(state, lvl, key)
+            return (e, e)
+        return tuple(self._ext(state, lvl, key, prefer=a)
+                     for a in range(2))

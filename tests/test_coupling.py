@@ -141,3 +141,59 @@ def test_host_coupling_dense_amr():
     # regrid: BCs replay onto the rebuilt solver
     hd.update_refinement(center_refine(3, 32, 8), max_lvl=2)
     assert hd.solver.bc_spec[0]["type"] == BCType.DIRICHLET
+
+
+def test_host_coupling_dense_forest2d():
+    """Non-rectangular (L-shaped) 2D host forests route to the 2D
+    dense-FOREST solver; leaf transfer incl. ghost-layer export matches
+    the boxed coupling bitwise."""
+    from octree_mg_tpu import MGConfig
+    from octree_mg_tpu.solve.dense import DenseMGSolver
+    from octree_mg_tpu.solve.dense_forest2d import DenseForest2DMGSolver
+
+    def l_refine(lvl, ix):
+        return lvl < 2 and (ix[0] <= 2 or ix[1] <= 2)
+
+    def mk(cfg):
+        return HostCoupling(2, [32, 32], 4, [1 / 32] * 2, [0, 0],
+                            [False, False], config=cfg)
+
+    hd = mk(MGConfig(operator="laplacian"))
+    hb = mk(MGConfig(operator="laplacian", smoother="jacobi"))
+    for hc in (hd, hb):
+        hc.update_refinement(l_refine, max_lvl=2)
+        hc.set_boundary_conditions(["asymm"] * 4)
+    assert isinstance(hd.solver, DenseForest2DMGSolver)
+    assert not isinstance(hb.solver, DenseMGSolver)
+
+    t = hb.solver.tree
+    rng = np.random.default_rng(9)
+    fields = {}
+    for lvl in [l for l in hb.solver.levels if l >= 1]:
+        for b in t.lvls[lvl].leaves:
+            fields[(lvl, tuple(t.ix[int(b)]))] = rng.normal(size=(6, 6))
+    for hc in (hd, hb):
+        hc.copy_to_tree(fields, IPHI)
+    interior = hd.copy_from_tree(IPHI)
+    for key, arr in fields.items():
+        np.testing.assert_array_equal(interior[key], arr[1:-1, 1:-1])
+    hb.state = hb.solver.fill_ghost(hb.state, IPHI)
+    gd = hd.copy_from_tree(IPHI, with_ghosts=True)
+    gb = hb.copy_from_tree(IPHI, with_ghosts=True)
+    for key in fields:
+        a, b = gd[key], gb[key]
+        np.testing.assert_array_equal(a[1:-1, 1:-1], b[1:-1, 1:-1],
+                                      err_msg=f"interior {key}")
+        for ax in range(2):
+            for side in (0, -1):
+                sl = [slice(1, -1)] * 2
+                sl[ax] = side
+                np.testing.assert_array_equal(
+                    a[tuple(sl)], b[tuple(sl)],
+                    err_msg=f"ghost face ax{ax} side{side} {key}")
+
+    # a solve runs on the forest-coupled tree and converges
+    hd.copy_to_tree(fields, IRHS)
+    st, res0 = hd.solver.fas_fmg(hd.state)
+    st, res = hd.solver.fas_fmg(st, have_guess=True)
+    assert float(res) < 0.2 * float(res0)
