@@ -12,15 +12,19 @@ m_ghost_cells.f90:769-861), physical (bc_to_gc: c0*b + c1*x1 + c2*x2,
 ghosts on the canvas boundary assemble into the four face vectors the
 2D kernels consume with identity coefficients (1, 0, 0).
 
-Concave-corner conflicts (ring segments of both axes claiming one
-garbage cell — impossible in the reference's per-box ghost storage) are
-resolved with PER-AXIS canvases instead of the 3D path's fix-up rects:
-every sweep/apply reads its dim-d neighbors from a canvas whose ring
-was written with axis-d segments last, so each direction sees its own
-axis's ghost — bitwise what per-box storage would give.  Conflict-free
-levels collapse to one canvas under CSE (the variants are equal
-expressions), so the common case pays nothing; whole-array XLA makes
-the conflicted case two cheap fused writes.
+The sweep/apply neighbor reads are rolls of the RAW state canvas with
+each direction's ring ghost values OVERLAID onto the neighbor arrays at
+the cells they serve (_dir_neighbors) — never rolls of a ghost-written
+canvas.  This resolves concave-corner conflicts (ring segments of both
+axes claiming one garbage cell — impossible in the reference's per-box
+ghost storage) exactly, since direction d's reads see d-axis ghosts by
+construction, and it keeps the rolls on cleanly-sharded inputs: under
+GSPMD y-slab placement, rolling a scatter output miscompiles at shard
+boundaries (measured, jax 0.9.0 CPU — the dense_amr2d strip bug's
+family), while this formulation distributes correctly
+(tests/test_dense_forest2d.py::test_forest2d_gspmd_sharded_matches_single).
+Ring ghosts are still written into the canvas for the one-ring exports
+(_ext: coarse strips, coupling).
 
 Smoothing runs at HALF-SWEEP granularity with ring/face refreshes
 between half-sweeps — the reference's per-substep refill cadence
@@ -366,7 +370,12 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
             if ext_ax is not None:
                 e = ext_ax[td][tuple(sl)]
                 tmp = tmp.at[0].set(e[0]).at[-1].set(e[-1])
-            out[i] = interp_rb_strip(tmp[None], 2)[0]
+            # _pin_repl: keep the strip chain replicated under GSPMD
+            # (the partitioner miscompiles the interleave when a
+            # consumer's y-sharding back-propagates into it — see
+            # Dense2DMGSolver._pin_repl)
+            out[i] = self._pin_repl(
+                interp_rb_strip(self._pin_repl(tmp)[None], 2)[0])
         return out
 
     def _ring_values(self, canvas, bplanes_raw, bcache, lvl
@@ -397,7 +406,10 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
                 if c2 != 0.0:
                     vals = vals + c2 * x2
                 vals = jnp.expand_dims(vals, ax)
-            out[i] = vals
+            # pinned replicated: thin ghost strips miscompile when the
+            # partitioner back-propagates a y-sharding into them (see
+            # Dense2DMGSolver._pin_repl)
+            out[i] = self._pin_repl(vals)
         return out
 
     def _write_ring(self, canvas, vals, lvl, prefer: Optional[int] = None):
@@ -447,7 +459,7 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
                     vals = vals + c2 * x2
             sl = slice(int(seg.lo[td]), int(seg.hi[td]))
             vecs[seg.nb] = vecs[seg.nb].at[sl].set(vals)
-        return vecs
+        return [self._pin_repl(v) for v in vecs]
 
     def _assemble(self, state, lvl, key, bcache=None, prefer=None):
         """(ringed canvas, face vectors, ring vals) for one variable
@@ -462,15 +474,32 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         vecs = self._face_vecs(ringed, raw, bcache, lvl)
         return ringed, vecs, vals
 
-    def _axis_canvases(self, canvas, vals, lvl):
-        """Per-axis ringed canvases: p_ax[d] carries axis-d ghosts at
-        conflicted cells.  Conflict-free levels return the same canvas
-        twice (identical expressions — free under CSE)."""
-        if not self.conflicted.get(lvl):
-            ringed = self._write_ring(canvas, vals, lvl)
-            return (ringed, ringed)
-        return (self._write_ring(canvas, vals, lvl, prefer=0),
-                self._write_ring(canvas, vals, lvl, prefer=1))
+    def _dir_neighbors(self, cfg, canvas, vals, lvl, masks, bpw):
+        """Per-dim (lo, hi) neighbor arrays: rolls of the RAW state
+        canvas (the clean-sharding pattern GSPMD partitions correctly —
+        rolling a ring-write scatter output miscompiles at shard
+        boundaries, measured jax 0.9.0 CPU) with each direction's ring
+        ghost values OVERLAID at the cells they serve.  This also
+        resolves concave-corner conflicts exactly: direction d's reads
+        see d-axis ghosts by construction (per-box ghost storage
+        semantics), with no per-axis canvases needed."""
+        out = []
+        for d in range(2):
+            lo, hi = d2._neighbor_ops(cfg, canvas, d, masks, bpw)
+            for i, seg in enumerate(self.segs[lvl]):
+                if seg.sink != "ring" or seg.nb // 2 != d:
+                    continue
+                step = 1 if seg.nb % 2 == 0 else -1
+                lo_r, hi_r = seg.lo.copy(), seg.hi.copy()
+                lo_r[d] += step
+                hi_r[d] += step
+                sl = self._cansl(lo_r, hi_r)
+                if seg.nb % 2 == 0:
+                    lo = lo.at[sl].set(vals[i])
+                else:
+                    hi = hi.at[sl].set(vals[i])
+            out.append((lo, hi))
+        return out
 
     def _ext(self, state, lvl, key, bcache=None, prefer=None):
         """[Y+2, X+2] canvas with ALL ghosts materialized."""
@@ -505,16 +534,17 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         rhs = state["rhs"][lvl]
         for n in range(2 * n_cycle):
             vals = self._ring_values(canvas, raw, bcache, lvl)
-            p_ax = self._axis_canvases(canvas, vals, lvl)
-            vecs = self._face_vecs(p_ax[0], raw, bcache, lvl)
+            vecs = self._face_vecs(canvas, raw, bcache, lvl)
             bpw = d2._bvals(cfg, vecs)
+            nbrs = self._dir_neighbors(cfg, canvas, vals, lvl, masks,
+                                       bpw)
             acc = -rhs
             for dd in range(2):
-                lo, hi = d2._neighbor_ops(cfg, p_ax[dd], dd, masks, bpw)
+                lo, hi = nbrs[dd]
                 acc = acc + cfg.idr2[dd] * (lo + hi)
             new = acc * (1.0 / (cfg.den0 + lam2))
-            canvas = (jnp.where(upd, new, p_ax[0]) if n % 2 == 0
-                      else jnp.where(upd, p_ax[0], new))
+            canvas = (jnp.where(upd, new, canvas) if n % 2 == 0
+                      else jnp.where(upd, canvas, new))
         return self._set(state, "phi", lvl, canvas)
 
     def _apply_expr_forest(self, state, lvl, lam, residual):
@@ -525,13 +555,13 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         raw = state["bc"][lvl]
         canvas = state["phi"][lvl]
         vals = self._ring_values(canvas, raw, bcache, lvl)
-        p_ax = self._axis_canvases(canvas, vals, lvl)
-        vecs = self._face_vecs(p_ax[0], raw, bcache, lvl)
+        vecs = self._face_vecs(canvas, raw, bcache, lvl)
         bpw = d2._bvals(cfg, vecs)
-        out = -lam2 * p_ax[0]
+        nbrs = self._dir_neighbors(cfg, canvas, vals, lvl, masks, bpw)
+        out = -lam2 * canvas
         for dd in range(2):
-            lo, hi = d2._neighbor_ops(cfg, p_ax[dd], dd, masks, bpw)
-            out = out + cfg.idr2[dd] * (lo + hi - 2.0 * p_ax[dd])
+            lo, hi = nbrs[dd]
+            out = out + cfg.idr2[dd] * (lo + hi - 2.0 * canvas)
         return state["rhs"][lvl] - out if residual else out
 
     def _residual(self, state, lvl, lam):

@@ -250,3 +250,37 @@ def test_forest2d_convergence():
     err = np.max(np.abs((np.asarray(sd.interior(st, top, "phi"))
                          - solution(x)) * m))
     assert err < 5e-2, f"solution error {err}"
+
+
+def test_forest2d_gspmd_sharded_matches_single():
+    """GSPMD y-slab placement distributes the 2D forest cycle (pure
+    XLA): sharded == single on the 8-device CPU mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    t = forest_tree("L")
+    results = {}
+    for shard in (False, True):
+        sd = make_solver(t, MGConfig(operator="laplacian"))
+        assert isinstance(sd, DenseForest2DMGSolver)
+        sd.set_bc(0, BCType.DIRICHLET, fn=solution)
+        st = sd.allocate()
+        rng = np.random.default_rng(21)
+        top = sd.levels[-1]
+        for lvl in sd.levels:
+            X, Y = sd.dims[lvl]
+            st = sd.set_interior(st, lvl, "rhs",
+                                 jnp.asarray(rng.normal(size=(Y, X))))
+        if shard:
+            mesh = Mesh(np.array(jax.devices()[:8]), ("y",))
+            st = sd.shard_state(st, mesh, min_local=8)
+            assert any(sd.y_sharded[l] for l in sd.levels)
+        st, res = sd.fas_fmg(st)
+        results[shard] = (np.asarray(sd.interior(st, top, "phi"))
+                          * _mask(sd, top), float(res))
+    a, b = results[False][0], results[True][0]
+    scale = max(np.max(np.abs(a)), 1e-30)
+    assert np.max(np.abs(a - b)) <= 1e-12 * scale, (
+        f"GSPMD forest diff {np.max(np.abs(a - b))}")
+    assert abs(results[False][1] - results[True][1]) <= 1e-10 * max(
+        1.0, results[False][1])
