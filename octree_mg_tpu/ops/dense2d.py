@@ -45,7 +45,7 @@ class Dense2DConfig:
     """
 
     def __init__(self, dims, idr2, bc, periodic, dtype, b_const=None,
-                 n_eps=0, cyl_w=None):
+                 n_eps=0, cyl_w=None, eps_bc=None):
         self.X, self.Y = int(dims[0]), int(dims[1])
         self.dims = (self.X, self.Y)
         self.idr2 = tuple(float(v) for v in idr2)
@@ -53,6 +53,12 @@ class Dense2DConfig:
         self.periodic = tuple(bool(p) for p in periodic)
         self.dtype = dtype
         self.n_eps = int(n_eps)
+        #: per-face (c0,c1,c2) ghost synthesis for the coefficient
+        #: fields, or None = the reference default (Neumann-zero,
+        #: m_vlaplacian.f90:25-28).  The 2D dense-patch AMR solver sets
+        #: refinement faces to the sides_rb combination (0.5, 0.75,
+        #: -0.25) with vector-valued b (m_ghost_cells.f90:769-861).
+        self.eps_bc = eps_bc
         self.cyl_w = cyl_w
         self.b_const = list(b_const) if b_const is not None else [None] * 4
         for i in range(4):
@@ -130,19 +136,57 @@ def _neighbor_ops(cfg, p, d, masks, bpw):
     return jnp.where(m_lo, glo, lo_raw), jnp.where(m_hi, ghi, hi_raw)
 
 
-def _eps_neighbor_ops(e, d, masks):
+def _eps_neighbor_ops(cfg, e, d, masks, ebpw=None):
     """Coefficient-field neighbors: Neumann-zero physical ghosts
-    (ghost = own value, m_vlaplacian.f90:25-28)."""
+    (ghost = own value, m_vlaplacian.f90:25-28), or — with cfg.eps_bc
+    set — the full bc_to_gc synthesis per face (the 2D dense-patch AMR
+    solver: sides_rb (0.5, 0.75, -0.25) with vector-valued b at
+    refinement faces; faces whose c0 is 0 never read ``ebpw``)."""
     axis = 1 - d
     lo_raw = jnp.roll(e, +1, axis=axis)
     hi_raw = jnp.roll(e, -1, axis=axis)
     if masks[d] is None:
         return lo_raw, hi_raw
     m_lo, m_hi = masks[d]
-    return jnp.where(m_lo, e, lo_raw), jnp.where(m_hi, e, hi_raw)
+    if cfg.eps_bc is None:
+        return jnp.where(m_lo, e, lo_raw), jnp.where(m_hi, e, hi_raw)
+    c0l, c1l, c2l = cfg.eps_bc[2 * d]
+    c0h, c1h, c2h = cfg.eps_bc[2 * d + 1]
+    # same accumulation order as _neighbor_ops (c0*b + c1*x1 + c2*x2)
+    glo = c1l * e
+    if c0l != 0.0:
+        glo = c0l * ebpw[2 * d] + glo
+    if c2l != 0.0:
+        glo = glo + c2l * hi_raw
+    ghi = c1h * e
+    if c0h != 0.0:
+        ghi = c0h * ebpw[2 * d + 1] + ghi
+    if c2h != 0.0:
+        ghi = ghi + c2h * lo_raw
+    return jnp.where(m_lo, glo, lo_raw), jnp.where(m_hi, ghi, hi_raw)
 
 
-def _halfsweep(cfg, p, rhs, lam, masks, upd, red, bpw, eps):
+def _bvals_eps(eps_planes):
+    """Coefficient-field boundary vectors broadcast against [Y, X]:
+    per eps field a 4-list (``None`` faces broadcast as 0.0)."""
+    if eps_planes is None:
+        return None
+    out = []
+    for planes in eps_planes:
+        row = []
+        for i in range(4):
+            p = planes[i]
+            if p is None:
+                row.append(0.0)
+            elif i < 2:
+                row.append(p[:, None])
+            else:
+                row.append(p[None, :])
+        out.append(row)
+    return out
+
+
+def _halfsweep(cfg, p, rhs, lam, masks, upd, red, bpw, eps, ebpw=None):
     """One masked GSRB half-sweep; bitwise the boxed smoothers."""
     if cfg.cyl_w is not None:
         # 2D cylindrical laplacian (cyl_laplacian_smooth_half order)
@@ -158,7 +202,9 @@ def _halfsweep(cfg, p, rhs, lam, masks, upd, red, bpw, eps):
         den = lam
         for d in range(2):
             e0 = eps[0] if cfg.n_eps == 1 else eps[d]
-            elo, ehi = _eps_neighbor_ops(e0, d, masks)
+            eb = None if ebpw is None else ebpw[0 if cfg.n_eps == 1
+                                                else d]
+            elo, ehi = _eps_neighbor_ops(cfg, e0, d, masks, eb)
             plo, phi_ = _neighbor_ops(cfg, p, d, masks, bpw)
             c = 2.0 * e0 * elo / (e0 + elo) * cfg.idr2[d]
             num = num + c * plo
@@ -176,7 +222,7 @@ def _halfsweep(cfg, p, rhs, lam, masks, upd, red, bpw, eps):
     return jnp.where(upd, new, p) if red else jnp.where(upd, p, new)
 
 
-def _apply_expr(cfg, p, lam, masks, bpw, eps):
+def _apply_expr(cfg, p, lam, masks, bpw, eps, ebpw=None):
     """A(phi): boxed op_apply order."""
     if cfg.cyl_w is not None:
         w_lo, w_hi = cfg.cyl_w
@@ -188,7 +234,9 @@ def _apply_expr(cfg, p, lam, masks, bpw, eps):
     if cfg.n_eps:
         for d in range(2):
             e0 = eps[0] if cfg.n_eps == 1 else eps[d]
-            elo, ehi = _eps_neighbor_ops(e0, d, masks)
+            eb = None if ebpw is None else ebpw[0 if cfg.n_eps == 1
+                                                else d]
+            elo, ehi = _eps_neighbor_ops(cfg, e0, d, masks, eb)
             plo, phi_ = _neighbor_ops(cfg, p, d, masks, bpw)
             c = 2.0 * e0 * elo / (e0 + elo) * cfg.idr2[d]
             out = out + c * (plo - p)
@@ -213,21 +261,24 @@ def _lam_2d(lam, dtype):
 
 
 def pair_sweep_2d(cfg: Dense2DConfig, phi, rhs, lam, bvecs,
-                  red_parity: int, eps=()):
+                  red_parity: int, eps=(), eps_planes=None):
     """One fused red+black GSRB pair over the dense [Y, X] level."""
     lam = _lam_2d(lam, cfg.dtype)
     masks = _face_masks(cfg)
     upd = _parity_mask(cfg, red_parity)
     bpw = _bvals(cfg, bvecs)
-    p1 = _halfsweep(cfg, phi, rhs, lam, masks, upd, True, bpw, eps)
-    return _halfsweep(cfg, p1, rhs, lam, masks, upd, False, bpw, eps)
+    ebpw = _bvals_eps(eps_planes)
+    p1 = _halfsweep(cfg, phi, rhs, lam, masks, upd, True, bpw, eps, ebpw)
+    return _halfsweep(cfg, p1, rhs, lam, masks, upd, False, bpw, eps,
+                      ebpw)
 
 
 def stencil_apply_2d(cfg: Dense2DConfig, phi, rhs, lam, bvecs,
-                     residual: bool, eps=()):
+                     residual: bool, eps=(), eps_planes=None):
     """A(phi) or rhs - A(phi) in one pass."""
     lam = _lam_2d(lam, cfg.dtype)
     masks = _face_masks(cfg)
     bpw = _bvals(cfg, bvecs)
-    out = _apply_expr(cfg, phi, lam, masks, bpw, eps)
+    out = _apply_expr(cfg, phi, lam, masks, bpw, eps,
+                      _bvals_eps(eps_planes))
     return rhs - out if residual else out

@@ -92,7 +92,7 @@ class DenseStencilConfig:
     """
 
     def __init__(self, dims, idr2, bc, periodic, dtype, b_const=None,
-                 tile=(16, 48), interpret=False, n_eps=0):
+                 tile=(16, 48), interpret=False, n_eps=0, eps_bc=None):
         self.X, self.Y, self.Z = int(dims[0]), int(dims[1]), int(dims[2])
         self.dims = (self.X, self.Y, self.Z)
         self.idr2 = tuple(float(v) for v in idr2)
@@ -105,6 +105,14 @@ class DenseStencilConfig:
         #: cell-centered eps (vlaplacian/vhelmholtz, m_vlaplacian.f90),
         #: 3 = per-direction eps (ahelmholtz, m_ahelmholtz.f90)
         self.n_eps = int(n_eps)
+        #: per-face (c0,c1,c2) ghost synthesis for the coefficient
+        #: fields, or None = the reference default (Neumann-zero: ghost
+        #: = own value, m_vlaplacian.f90:25-28).  The dense-patch AMR
+        #: solvers set refinement faces to the sides_rb combination
+        #: (0.5, 0.75, -0.25) with plane-valued b — eps ghosts at
+        #: refinement boundaries follow the same two-stage scheme as
+        #: any variable (m_ghost_cells.f90:131-175).
+        self.eps_bc = eps_bc
         self.b_const = list(b_const) if b_const is not None else [None] * 6
         for i in range(6):
             if self.periodic[i // 2]:
@@ -130,6 +138,11 @@ class DenseStencilConfig:
         # serves it (XLA f64 emulation).  Interpret mode (CPU tests)
         # keeps the kernel path so f64 parity tests cover it.
         if not interpret and np.dtype(dtype).itemsize > 4:
+            self.use_kernel = False
+        # plane-valued eps ghost synthesis is not plumbed through the
+        # Mosaic plane windows; the identical-jnp path serves it (AMR
+        # patch levels — smaller than the uniform top level anyway)
+        if eps_bc is not None:
             self.use_kernel = False
         #: fused downsweep (smooth+residual+restrict) eligibility: the
         #: in-kernel restriction writes coarse tiles, so the coarse
@@ -220,22 +233,42 @@ def _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret):
     return lo, hi
 
 
-def _eps_neighbor_ops(e, d, axis, masks, interpret):
+def _eps_neighbor_ops(cfg, e, d, axis, masks, interpret, ebpw=None):
     """(lo, hi) neighbor values of a coefficient field along dim d.
 
-    Coefficient fields carry Neumann-zero physical ghosts
+    Default (cfg.eps_bc None): Neumann-zero physical ghosts
     (m_vlaplacian.f90:25-28, m_ahelmholtz.f90:28-41): ghost = x1, i.e.
-    at a physical face the neighbor value IS the cell's own value."""
+    at a physical face the neighbor value IS the cell's own value.
+    With cfg.eps_bc set, the full bc_to_gc synthesis runs per face —
+    the dense-patch AMR solvers put the sides_rb combination
+    (0.5, 0.75, -0.25) with the coarse-interp plane b on refinement
+    faces (m_ghost_cells.f90:769-861) and (0, 1, 0) (= Neumann-zero)
+    on physical faces; faces whose c0 is 0 never read ``ebpw``."""
     lo_raw = _roll(e, +1, axis, interpret)
     hi_raw = _roll(e, -1, axis, interpret)
     if masks[d] is None:
         return lo_raw, hi_raw
     m_lo, m_hi = masks[d]
-    return jnp.where(m_lo, e, lo_raw), jnp.where(m_hi, e, hi_raw)
+    if cfg.eps_bc is None:
+        return jnp.where(m_lo, e, lo_raw), jnp.where(m_hi, e, hi_raw)
+    c0l, c1l, c2l = cfg.eps_bc[2 * d]
+    c0h, c1h, c2h = cfg.eps_bc[2 * d + 1]
+    # same accumulation order as _neighbor_ops (c0*b + c1*x1 + c2*x2)
+    glo = c1l * e
+    if c0l != 0.0:
+        glo = c0l * ebpw[2 * d] + glo
+    if c2l != 0.0:
+        glo = glo + c2l * hi_raw
+    ghi = c1h * e
+    if c0h != 0.0:
+        ghi = c0h * ebpw[2 * d + 1] + ghi
+    if c2h != 0.0:
+        ghi = ghi + c2h * lo_raw
+    return jnp.where(m_lo, glo, lo_raw), jnp.where(m_hi, ghi, hi_raw)
 
 
 def _halfsweep(cfg, p, rhs_w, lam, masks, upd, red, bpw, interpret,
-               eps=()):
+               eps=(), ebpw=None):
     """One masked GSRB half-sweep over a window; bitwise-identical
     arithmetic to kernels.helmholtz_smooth_half (constant coefficient)
     / kernels.vhelmholtz_smooth_half / kernels.ahelmholtz_smooth_half
@@ -249,7 +282,10 @@ def _halfsweep(cfg, p, rhs_w, lam, masks, upd, red, bpw, interpret,
         den = lam
         for d, axis in ((0, 2), (1, 1), (2, 0)):
             e0 = eps[0] if cfg.n_eps == 1 else eps[d]
-            elo, ehi = _eps_neighbor_ops(e0, d, axis, masks, interpret)
+            eb = None if ebpw is None else ebpw[0 if cfg.n_eps == 1
+                                                else d]
+            elo, ehi = _eps_neighbor_ops(cfg, e0, d, axis, masks,
+                                         interpret, eb)
             plo, phi_ = _neighbor_ops(cfg, p, d, axis, masks, bpw,
                                       interpret)
             c = 2.0 * e0 * elo / (e0 + elo) * cfg.idr2[d]
@@ -269,7 +305,7 @@ def _halfsweep(cfg, p, rhs_w, lam, masks, upd, red, bpw, interpret,
     return jnp.where(upd, new, p) if red else jnp.where(upd, p, new)
 
 
-def _apply_expr(cfg, p, lam, masks, bpw, interpret, eps=()):
+def _apply_expr(cfg, p, lam, masks, bpw, interpret, eps=(), ebpw=None):
     """A(phi) over a window (boxed op_apply order: out = -lam*c;
     out += idr2[d]*(lo + hi - 2c), or with eps the harmonic-mean form
     out += c*(nbr - c0), kernels.vhelmholtz_apply/ahelmholtz_apply)."""
@@ -277,7 +313,10 @@ def _apply_expr(cfg, p, lam, masks, bpw, interpret, eps=()):
     if cfg.n_eps:
         for d, axis in ((0, 2), (1, 1), (2, 0)):
             e0 = eps[0] if cfg.n_eps == 1 else eps[d]
-            elo, ehi = _eps_neighbor_ops(e0, d, axis, masks, interpret)
+            eb = None if ebpw is None else ebpw[0 if cfg.n_eps == 1
+                                                else d]
+            elo, ehi = _eps_neighbor_ops(cfg, e0, d, axis, masks,
+                                         interpret, eb)
             plo, phi_ = _neighbor_ops(cfg, p, d, axis, masks, bpw,
                                       interpret)
             c = 2.0 * e0 * elo / (e0 + elo) * cfg.idr2[d]
@@ -320,27 +359,55 @@ def _bpw_full(cfg, bplanes):
     return out
 
 
+def _bpw_eps_full(eps_planes):
+    """Coefficient-field boundary planes broadcast against the padded
+    array: per eps field a 6-list of planes (``None`` faces — whose
+    synthesis never reads b — broadcast as 0.0).  Plane layouts match
+    :func:`_bpw_full`: x faces [ZP, YPW], y faces [ZP, X], z faces
+    [YPW, X]."""
+    if eps_planes is None:
+        return None
+    out = []
+    for planes in eps_planes:
+        row = []
+        for i in range(6):
+            p = planes[i]
+            if p is None:
+                row.append(0.0)
+            elif i < 2:
+                row.append(p[:, :, None])
+            elif i < 4:
+                row.append(p[:, None, :])
+            else:
+                row.append(p[None, :, :])
+        out.append(row)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # jnp fallback (identical computation over the whole padded array)
 # ---------------------------------------------------------------------------
 
 def _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity, zgates=None,
-              eps=()):
+              eps=(), eps_planes=None):
     g = _full_iotas(cfg)
     masks = _face_masks(cfg, g, zgates)
     upd = _parity_mask(g, red_parity)
     bpw = _bpw_full(cfg, bplanes)
-    p1 = _halfsweep(cfg, phi, rhs, lam, masks, upd, True, bpw, True, eps)
+    ebpw = _bpw_eps_full(eps_planes)
+    p1 = _halfsweep(cfg, phi, rhs, lam, masks, upd, True, bpw, True, eps,
+                    ebpw)
     return _halfsweep(cfg, p1, rhs, lam, masks, upd, False, bpw, True,
-                      eps)
+                      eps, ebpw)
 
 
 def _apply_jnp(cfg, phi, rhs, lam, bplanes, residual, zgates=None,
-               eps=()):
+               eps=(), eps_planes=None):
     g = _full_iotas(cfg)
     masks = _face_masks(cfg, g, zgates)
     bpw = _bpw_full(cfg, bplanes)
-    out = _apply_expr(cfg, phi, lam, masks, bpw, True, eps)
+    out = _apply_expr(cfg, phi, lam, masks, bpw, True, eps,
+                      _bpw_eps_full(eps_planes))
     return rhs - out if residual else out
 
 
@@ -659,6 +726,8 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
                  restrict_outs: bool = False, fine_out: bool = True,
                  zstream: bool = False, eps=()):
     assert len(eps) == cfg.n_eps
+    assert cfg.eps_bc is None, \
+        "eps-plane ghost synthesis rides the jnp path only"
     assert not (zstream and cfg.n_eps), \
         "z-streaming not plumbed for coefficient windows"
     tz, ty, X = cfg.tz, cfg.ty, cfg.X
@@ -745,7 +814,7 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
 
 def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
                      red_parity: int, z_gates=None, n_pairs: int = 1,
-                     eps=()):
+                     eps=(), eps_planes=None):
     """Fused [red half-sweep, ghost refresh, black half-sweep] x n_pairs.
 
     phi/rhs: padded_shape(dims); lam: scalar; bplanes: 6 padded
@@ -764,7 +833,8 @@ def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
     if not cfg.use_kernel:
         assert n_pairs == 1, "jnp fallback runs single pairs"
         return _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity, z_gates,
-                         eps)
+                         eps, eps_planes)
+    assert eps_planes is None, "eps planes ride the jnp path only"
     assert 2 * n_pairs <= PZ
 
     def body(p, r, lam_s, masks, g, bpw, epw):
@@ -787,7 +857,7 @@ def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
 
 
 def half_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
-                     parity: int, z_gates=None, eps=()):
+                     parity: int, z_gates=None, eps=(), eps_planes=None):
     """ONE GSRB half-sweep: update cells with (gx+gy+gz)%2 == parity.
 
     The dense-forest AMR path runs at half-sweep granularity because its
@@ -803,7 +873,8 @@ def half_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
         upd = _parity_mask(g, parity)
         bpw = _bpw_full(cfg, bplanes)
         return _halfsweep(cfg, phi, rhs, lam, masks, upd, True, bpw,
-                          True, eps)
+                          True, eps, _bpw_eps_full(eps_planes))
+    assert eps_planes is None, "eps planes ride the jnp path only"
 
     def body(p, r, lam_s, masks, g, bpw, epw):
         upd = _parity_mask(g, parity)
@@ -868,13 +939,15 @@ def residual_restrict_dense(cfg: DenseStencilConfig, phi, rhs, lam,
 
 
 def stencil_apply_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
-                        residual: bool, z_gates=None, eps=()):
+                        residual: bool, z_gates=None, eps=(),
+                        eps_planes=None):
     """A(phi) (or rhs - A(phi)) in one pass (box_lpl/box_helmh +
     residual_box, m_multigrid.f90:426-436; box_vlpl/box_ahelmh when
     eps fields are present)."""
     if not cfg.use_kernel:
         return _apply_jnp(cfg, phi, rhs, lam, bplanes, residual, z_gates,
-                          eps)
+                          eps, eps_planes)
+    assert eps_planes is None, "eps planes ride the jnp path only"
 
     def body(p, r, lam_s, masks, g, bpw, epw):
         out = _apply_expr(cfg, p, lam_s, masks, bpw, cfg.interpret, epw)

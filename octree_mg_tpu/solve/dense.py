@@ -260,13 +260,17 @@ class DenseMGSolver:
             state["bc"][lvl] = self._eval_bc_planes(lvl)
         return state
 
-    def set_coefficient(self, state, values, d: int = 0):
+    def set_coefficient(self, state, values, d: int = 0,
+                        lvl: Optional[int] = None):
         """Write the cell-centered coefficient field (the boxed path's
-        IVEPS+d variable) on the finest level; follow with
-        prepare_coefficient before solving."""
+        IVEPS+d variable) on the finest level — or, on AMR patch trees,
+        on the given level's patch interior (coarse-level leaves live
+        outside the fine footprint, so every level needs values there);
+        follow with prepare_coefficient before solving."""
         assert 0 <= d < self.n_eps
-        return self.set_interior(state, self.levels[-1], f"eps{d}",
-                                 values)
+        if lvl is None:
+            lvl = self.levels[-1]
+        return self.set_interior(state, lvl, f"eps{d}", values)
 
     def prepare_coefficient(self, state):
         """Restrict the coefficient field(s) down every level (the
@@ -408,6 +412,12 @@ class DenseMGSolver:
         return tuple(self._sync_pads(state[f"eps{i}"][lvl], lvl)
                      for i in range(self.n_eps))
 
+    def _eps_planes(self, state, lvl):
+        """Boundary planes for the coefficient-field ghost synthesis,
+        or None for the reference Neumann-zero default (the AMR patch
+        solvers substitute coarse-interp planes at refinement faces)."""
+        return None
+
     def _smooth(self, state, lvl, n_cycle, lam):
         """n_cycle GSRB cycles as fused pair kernels — double pairs (4
         half-sweeps, one HBM pass) where the Mosaic path is available
@@ -417,13 +427,15 @@ class DenseMGSolver:
         rhs = self._sync_pads(state["rhs"][lvl], lvl)
         bp = self._planes(state, lvl)
         eps = self._eps(state, lvl)
+        epl = self._eps_planes(state, lvl)
         rem = n_cycle
         while rem > 0:
             k = 2 if (rem >= 2 and cfg.use_kernel) else 1
             phi = self._sync_pads(phi, lvl)
             # substeps n=1,2 -> red parity (n+1)%2 = 0
             phi = dk.pair_sweep_dense(cfg, phi, rhs, lam, bp,
-                                      red_parity=0, n_pairs=k, eps=eps)
+                                      red_parity=0, n_pairs=k, eps=eps,
+                                      eps_planes=epl)
             rem -= k
         return self._set(state, "phi", lvl, phi)
 
@@ -432,7 +444,8 @@ class DenseMGSolver:
         phi = self._sync_pads(state["phi"][lvl], lvl)
         ires = dk.stencil_apply_dense(cfg, phi, state["rhs"][lvl], lam,
                                       self._planes(state, lvl), residual=True,
-                                      eps=self._eps(state, lvl))
+                                      eps=self._eps(state, lvl),
+                                      eps_planes=self._eps_planes(state, lvl))
         return self._set(state, "ires", lvl, ires)
 
     def _apply_op(self, state, lvl, lam):
@@ -440,7 +453,8 @@ class DenseMGSolver:
         phi = self._sync_pads(state["phi"][lvl], lvl)
         return dk.stencil_apply_dense(cfg, phi, state["rhs"][lvl], lam,
                                       self._planes(state, lvl), residual=False,
-                                      eps=self._eps(state, lvl))
+                                      eps=self._eps(state, lvl),
+                                      eps_planes=self._eps_planes(state, lvl))
 
     def _kernel_apply(self, cfg, phi, rhs, lam, bplanes, eps):
         """Raw operator application on explicit arrays (used by the
@@ -657,9 +671,13 @@ class DenseMGSolver:
         phi = state["phi"][lvl].at[self._isl].add(vals)
         return self._set(state, "phi", lvl, phi)
 
-    def _ring_bc(self, lvl):
+    def _ring_bc(self, lvl, key="phi"):
         """(c0,c1,c2) per face used for ghost-ring synthesis; the AMR
-        subclass substitutes refinement-face coefficients."""
+        subclass substitutes refinement-face coefficients.  Coefficient
+        fields (eps*) take the reference's Neumann-zero default — ghost
+        = own value, i.e. (0, 1, 0) (m_vlaplacian.f90:25-28)."""
+        if key.startswith("eps"):
+            return [(0.0, 1.0, 0.0)] * (2 * self.ndim)
         return self._bc_static(lvl)
 
     def _var_with_ring(self, state, lvl, key):
@@ -671,7 +689,7 @@ class DenseMGSolver:
         X, Y, Z = self.dims[lvl]
         arr = state[key][lvl]
         bp = self._planes(state, lvl, key)
-        bc = self._ring_bc(lvl)
+        bc = self._ring_bc(lvl, key)
         out = jnp.zeros((Z + 2, Y + 2, X + 2), self.cfg.dtype)
         out = out.at[(slice(1, -1),) * 3].set(arr[_ISL])
         for nbd in range(6):

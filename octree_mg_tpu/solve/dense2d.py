@@ -173,12 +173,14 @@ class Dense2DMGSolver(DenseMGSolver):
         rhs = state["rhs"][lvl]
         bp = self._planes(state, lvl)
         eps = self._eps(state, lvl)
+        epl = self._eps_planes(state, lvl)
         for _ in range(n_cycle):
             # boxed substep n updates 1-based parity n%2, i.e. 0-based
             # (n%2 + ndim) % 2; substeps n=1,2 with ndim=2 -> red
             # parity 1 (the opposite color of the 3D dense path)
             phi = d2.pair_sweep_2d(cfg, phi, rhs, lam, bp,
-                                   red_parity=1, eps=eps)
+                                   red_parity=1, eps=eps,
+                                   eps_planes=epl)
         return self._set(state, "phi", lvl, phi)
 
     def _residual(self, state, lvl, lam):
@@ -187,7 +189,8 @@ class Dense2DMGSolver(DenseMGSolver):
                                    state["rhs"][lvl], lam,
                                    self._planes(state, lvl),
                                    residual=True,
-                                   eps=self._eps(state, lvl))
+                                   eps=self._eps(state, lvl),
+                                   eps_planes=self._eps_planes(state, lvl))
         return self._set(state, "ires", lvl, ires)
 
     def _apply_op(self, state, lvl, lam):
@@ -196,7 +199,8 @@ class Dense2DMGSolver(DenseMGSolver):
                                    state["rhs"][lvl], lam,
                                    self._planes(state, lvl),
                                    residual=False,
-                                   eps=self._eps(state, lvl))
+                                   eps=self._eps(state, lvl),
+                                   eps_planes=self._eps_planes(state, lvl))
 
     def _kernel_apply(self, cfg, phi, rhs, lam, bplanes, eps):
         return d2.stencil_apply_2d(cfg, phi, rhs, lam, bplanes,
@@ -256,7 +260,7 @@ class Dense2DMGSolver(DenseMGSolver):
         X, Y = self.dims[lvl]
         arr = state[key][lvl]
         bp = self._planes(state, lvl, key)
-        bc = self._ring_bc(lvl)
+        bc = self._ring_bc(lvl, key)
         out = jnp.zeros((Y + 2, X + 2), self.cfg.dtype)
         out = out.at[1:-1, 1:-1].set(arr)
         for nbd in range(4):

@@ -111,10 +111,17 @@ def _rb_strips_inside(tree: Tree, geom: Dict) -> bool:
 
 
 def dense_amr_supported(tree: Tree, cfg: MGConfig) -> bool:
-    """Whether the dense-patch AMR path covers this configuration."""
+    """Whether the dense-patch AMR path covers this configuration.
+
+    Variable-coefficient operators ride too: eps ghosts at refinement
+    faces follow the same two-stage scheme as any variable (coarse
+    interp + sides_rb combine), expressed as per-face eps BC synthesis
+    with plane-valued b (DenseStencilConfig.eps_bc); those levels run
+    the identical-jnp path (Mosaic plane windows for eps not plumbed)."""
     if not (tree.ndim == 3
             and tree.highest_lvl > 1
-            and cfg.operator in ("laplacian", "helmholtz")
+            and cfg.operator in ("laplacian", "helmholtz", "vlaplacian",
+                                 "vhelmholtz", "ahelmholtz")
             and cfg.geometry == "cartesian"
             and cfg.smoother in ("gsrb", "gs")
             and not any(tree.periodic)):
@@ -201,11 +208,20 @@ class DenseAMRMGSolver(DenseMGSolver):
                 spec = self.bc_spec[nb]
                 b_const.append(float(spec["value"])
                                if spec["fn"] is None else None)
+        eps_bc = None
+        if self.n_eps and "rb" in self.face_kind[lvl]:
+            # coefficient-field ghosts: Neumann-zero at physical faces
+            # (ghost = own value, m_vlaplacian.f90:25-28), sides_rb with
+            # the coarse-interp plane at refinement faces — the same
+            # two-stage scheme any variable gets (m_ghost_cells.f90:
+            # 131-175, 769-861)
+            eps_bc = [RB_COEFFS if self.face_kind[lvl][nb] == "rb"
+                      else (0.0, 1.0, 0.0) for nb in range(6)]
         return dk.DenseStencilConfig(
             dims=self.dims[lvl], idr2=idr2, bc=bc_full,
             periodic=self.periodic, dtype=self.cfg.dtype,
             b_const=b_const, interpret=self.interpret,
-            n_eps=self.n_eps)
+            n_eps=self.n_eps, eps_bc=eps_bc)
 
     def cell_centers(self, lvl: int) -> np.ndarray:
         """Patch interior cell centers [Z, Y, X, 3] in global coords."""
@@ -275,12 +291,27 @@ class DenseAMRMGSolver(DenseMGSolver):
             out.append(jnp.asarray(vals, dt))
         return out
 
-    def _ring_bc(self, lvl):
+    def _ring_bc(self, lvl, key="phi"):
         """Ghost-ring coefficients: refinement faces take the sides_rb
-        combination, physical faces the bc_to_gc formula."""
-        phys = super()._bc_static(lvl)
+        combination, physical faces the bc_to_gc formula (coefficient
+        fields: Neumann-zero, ghost = own value)."""
+        phys = super()._ring_bc(lvl, key)
         return [RB_COEFFS if self.face_kind[lvl][nb] == "rb" else phys[nb]
                 for nb in range(6)]
+
+    def _eps_planes(self, state, lvl):
+        """Coefficient-field boundary planes: the coarse-interp plane at
+        refinement faces (same interpolation as phi's), None (never
+        read — Neumann-zero synthesis) at physical faces."""
+        kinds = self.face_kind[lvl]
+        if not self.n_eps or "rb" not in kinds:
+            return None
+        out = []
+        for i in range(self.n_eps):
+            planes = self._planes(state, lvl, key=f"eps{i}")
+            out.append([planes[nb] if kinds[nb] == "rb" else None
+                        for nb in range(len(kinds))])
+        return out
 
     # ------------------------------------------------------------------
     # refinement-boundary ghost planes (traced)

@@ -38,11 +38,21 @@ from .multigrid import MGConfig
 
 
 def dense_amr2d_supported(tree: Tree, cfg: MGConfig) -> bool:
-    """Whether the 2D dense-patch AMR path covers this configuration."""
+    """Whether the 2D dense-patch AMR path covers this configuration.
+
+    Variable-coefficient operators and the 2D cylindrical laplacian
+    (m_laplacian.f90:197-271; the boxed dispatch's geometry gating)
+    ride too — eps refinement-face ghosts follow the same two-stage
+    scheme as any variable, and the radial face weights are
+    patch-offset-aware."""
+    geom_ok = (cfg.geometry == "cartesian"
+               or (cfg.geometry == "cylindrical"
+                   and cfg.operator == "laplacian"))
     if not (tree.ndim == 2
             and tree.highest_lvl > 1
-            and cfg.operator in ("laplacian", "helmholtz")
-            and cfg.geometry == "cartesian"
+            and cfg.operator in ("laplacian", "helmholtz", "vlaplacian",
+                                 "vhelmholtz", "ahelmholtz")
+            and geom_ok
             and cfg.smoother in ("gsrb", "gs")
             and not any(tree.periodic)):
         return False
@@ -124,10 +134,38 @@ class Dense2DAMRMGSolver(Dense2DMGSolver):
                 spec = self.bc_spec[nb]
                 b_const.append(float(spec["value"])
                                if spec["fn"] is None else None)
+        eps_bc = None
+        if self.n_eps and "rb" in self.face_kind[lvl]:
+            # coefficient-field ghosts: Neumann-zero at physical faces,
+            # sides_rb with the coarse-interp vector at refinement faces
+            # (m_ghost_cells.f90:131-175, 769-861)
+            eps_bc = [RB_COEFFS if self.face_kind[lvl][nb] == "rb"
+                      else (0.0, 1.0, 0.0) for nb in range(4)]
+        cyl_w = None
+        if self.cfg.geometry == "cylindrical":
+            cyl_w = self._cyl_weights(lvl)
         return d2.Dense2DConfig(
             dims=self.dims[lvl], idr2=idr2, bc=bc_full,
             periodic=self.periodic, dtype=self.cfg.dtype,
-            b_const=b_const, n_eps=self.n_eps)
+            b_const=b_const, n_eps=self.n_eps, eps_bc=eps_bc,
+            cyl_w=cyl_w)
+
+    def _cyl_weights(self, lvl: int):
+        """Patch-offset-aware radial face weights (box_clpl,
+        m_laplacian.f90:209-212): the patch's first column sits at
+        global radial index ``offsets[lvl][0]``."""
+        t = self.tree
+        X = self.dims[lvl][0]
+        dr0 = float(t.dr[lvl][0])
+        rmin = float(t.r_min[0])
+        off = float(self.offsets[lvl][0])
+        i = np.arange(1, X + 1) + off
+        r_face = rmin + dr0 * (i - 1)
+        r_face_hi = rmin + dr0 * i
+        r_inv = 1.0 / (rmin + dr0 * (i - 0.5))
+        dt = np.dtype(self.cfg.dtype)
+        return ((r_face * r_inv)[None, :].astype(dt),
+                (r_face_hi * r_inv)[None, :].astype(dt))
 
     def cell_centers(self, lvl: int) -> np.ndarray:
         """Patch interior cell centers [Y, X, 2] in global coords."""
@@ -179,12 +217,27 @@ class Dense2DAMRMGSolver(Dense2DMGSolver):
             out.append(jnp.asarray(vals, dt))
         return out
 
-    def _ring_bc(self, lvl):
+    def _ring_bc(self, lvl, key="phi"):
         """Ghost-ring coefficients: refinement faces take the sides_rb
-        combination, physical faces the bc_to_gc formula."""
-        phys = super()._bc_static(lvl)
+        combination, physical faces the bc_to_gc formula (coefficient
+        fields: Neumann-zero, ghost = own value)."""
+        phys = super()._ring_bc(lvl, key)
         return [RB_COEFFS if self.face_kind[lvl][nb] == "rb" else phys[nb]
                 for nb in range(4)]
+
+    def _eps_planes(self, state, lvl):
+        """Coefficient-field boundary vectors: the coarse-interp vector
+        at refinement faces, None (Neumann-zero synthesis, never read)
+        at physical faces."""
+        kinds = self.face_kind[lvl]
+        if not self.n_eps or "rb" not in kinds:
+            return None
+        out = []
+        for i in range(self.n_eps):
+            planes = self._planes(state, lvl, key=f"eps{i}")
+            out.append([planes[nb] if kinds[nb] == "rb" else None
+                        for nb in range(len(kinds))])
+        return out
 
     # ------------------------------------------------------------------
     # refinement-boundary ghost vectors (traced)

@@ -1,0 +1,230 @@
+"""Variable-coefficient and cylindrical operators on the dense-patch
+AMR solvers.
+
+The round-2 dense-patch AMR paths covered constant-coefficient
+cartesian operators only; these tests pin the round-3 extension:
+vlaplacian/vhelmholtz/ahelmholtz on rectangular AMR patches (3D and
+2D) and the 2D cylindrical laplacian on AMR patches, all bit-identical
+per phase to the boxed path.  The new machinery under test is the
+coefficient-field ghost synthesis at refinement faces — eps ghosts
+follow the same two-stage scheme as any variable (coarse interp
+box_gc_for_fine_neighbor + sides_rb combine, m_ghost_cells.f90:
+131-175, 500-577, 769-861), expressed as per-face eps BC synthesis
+with plane-valued b (DenseStencilConfig.eps_bc / Dense2DConfig.eps_bc)
+— and the patch-offset-aware radial face weights (box_clpl,
+m_laplacian.f90:209-212).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from octree_mg_tpu import (IPHI, IRES, IRHS, IVEPS, BCType,
+                           Dense2DAMRMGSolver, DenseAMRMGSolver,
+                           MGConfig, MGSolver, build_amr_centered,
+                           dense_amr2d_supported, dense_amr_supported,
+                           make_solver)
+
+from test_dense_amr import boxed_to_patch as boxed_to_patch_3d
+from test_dense_amr import solution
+from test_dense_amr2d import boxed_to_patch as boxed_to_patch_2d
+
+N_EPS = {"laplacian": 0, "vlaplacian": 1, "vhelmholtz": 1,
+         "ahelmholtz": 3}
+
+
+def setup_pair(ndim, operator, n_levels=3, size=16, box=8,
+               coarse="smooth", seed=5, geometry="cartesian"):
+    """Boxed + dense-patch AMR solver pair with identical random
+    phi/rhs and positive eps on every level (eps ghosts filled on the
+    boxed side; the dense side synthesizes them inline)."""
+    tree = build_amr_centered(ndim, n_levels, np.full(ndim, size), box,
+                              np.full(ndim, 1.0 / size))
+    cfg_kw = dict(operator=operator, smoother="gsrb", geometry=geometry)
+    sb = MGSolver(tree, MGConfig(**cfg_kw))
+    cls = DenseAMRMGSolver if ndim == 3 else Dense2DAMRMGSolver
+    sd = cls(tree, MGConfig(coarse_solver=coarse, **cfg_kw))
+    sb.set_bc(IPHI, BCType.DIRICHLET, fn=solution)
+    sd.set_bc(0, BCType.DIRICHLET, fn=solution)
+    st_b = sb.allocate()
+    st_d = sd.allocate()
+    rng = np.random.default_rng(seed)
+    n_eps = min(N_EPS[operator], ndim)
+    for lvl in sb.levels:
+        nb = sb.static[lvl]["n_boxes"]
+        nc = sb.static[lvl]["nc"]
+        isl = (slice(None),) + (slice(1, -1),) * ndim
+        fields = {IPHI: rng.normal(size=(nb,) + (nc,) * ndim),
+                  IRHS: rng.normal(size=(nb,) + (nc,) * ndim)}
+        for d in range(n_eps):
+            fields[IVEPS + d] = 0.5 + rng.random(size=(nb,) + (nc,) * ndim)
+        for iv, vals in fields.items():
+            st_b["cc"][lvl] = st_b["cc"][lvl].at[(iv,) + isl].set(vals)
+    for iv in [IPHI, IRHS] + [IVEPS + d for d in range(n_eps)]:
+        st_b = sb.fill_ghost(st_b, iv)
+    kmap = {"phi": IPHI, "rhs": IRHS}
+    for d in range(n_eps):
+        kmap[f"eps{d}"] = IVEPS + d
+    b2p = boxed_to_patch_3d if ndim == 3 else boxed_to_patch_2d
+    for lvl in sd.levels:
+        for k, iv in kmap.items():
+            vals = b2p(sb, sd, st_b, lvl, iv)
+            st_d = sd.set_interior(st_d, lvl, k, jnp.asarray(vals))
+    return sb, st_b, sd, st_d
+
+
+def test_gating():
+    for ndim, pred, cls in ((3, dense_amr_supported, DenseAMRMGSolver),
+                            (2, dense_amr2d_supported,
+                             Dense2DAMRMGSolver)):
+        tree = build_amr_centered(ndim, 3, np.full(ndim, 16), 8,
+                                  np.full(ndim, 1.0 / 16))
+        for op in ("vlaplacian", "vhelmholtz", "ahelmholtz"):
+            cfg = MGConfig(operator=op)
+            assert pred(tree, cfg)
+            assert isinstance(make_solver(tree, cfg), cls)
+    # 2D cylindrical laplacian rides the dense AMR path; cylindrical
+    # with a non-laplacian operator does not (the boxed dispatch's rule)
+    tree2 = build_amr_centered(2, 3, np.full(2, 16), 8,
+                               np.full(2, 1.0 / 16))
+    assert dense_amr2d_supported(tree2, MGConfig(operator="laplacian",
+                                                 geometry="cylindrical"))
+    assert not dense_amr2d_supported(
+        tree2, MGConfig(operator="vlaplacian", geometry="cylindrical"))
+
+
+@pytest.mark.parametrize("ndim", [3, 2])
+@pytest.mark.parametrize("operator", ["vlaplacian", "ahelmholtz"])
+def test_smooth_bitwise(ndim, operator):
+    """Patch smoothing == boxed smooth_boxes bitwise, including the eps
+    refinement-face ghost synthesis from the coarse strip."""
+    sb, st_b, sd, st_d = setup_pair(ndim, operator)
+    lam = jnp.asarray(0.0, jnp.float64)
+    top = sb.levels[-1]
+    b2p = boxed_to_patch_3d if ndim == 3 else boxed_to_patch_2d
+    st_b = sb._smooth_boxes(st_b, sb._to_device(), top, 1, lam)
+    st_d = sd._smooth(st_d, top, 1, lam)
+    ref = b2p(sb, sd, st_b, top, IPHI)
+    got = np.asarray(sd.interior(st_d, top, "phi"))
+    assert np.array_equal(got, ref), (
+        f"max diff {np.max(np.abs(got - ref))}")
+
+
+@pytest.mark.parametrize("ndim", [3, 2])
+def test_residual_bitwise(ndim):
+    sb, st_b, sd, st_d = setup_pair(ndim, "vhelmholtz")
+    lam = jnp.asarray(0.7, jnp.float64)
+    top = sb.levels[-1]
+    b2p = boxed_to_patch_3d if ndim == 3 else boxed_to_patch_2d
+    st_b = sb._residual_lvl(st_b, sb._to_device(), top, lam)
+    st_d = sd._residual(st_d, top, lam)
+    ref = b2p(sb, sd, st_b, top, IRES)
+    got = np.asarray(sd.interior(st_d, top, "ires"))
+    assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("ndim", [3, 2])
+@pytest.mark.parametrize("operator", ["vlaplacian", "vhelmholtz",
+                                      "ahelmholtz"])
+def test_vcycle_equivalent(ndim, operator):
+    """Full FAS V-cycle matches the boxed path to ~1 ulp (restriction
+    rounding, see test_dense.test_vcycle_equivalent)."""
+    sb, st_b, sd, st_d = setup_pair(ndim, operator, coarse="smooth")
+    lam = 0.4 if operator != "vlaplacian" else 0.0
+    st_b, res_b = sb.fas_vcycle(st_b, lam=lam)
+    st_d, res_d = sd.fas_vcycle(st_d, lam=lam)
+    b2p = boxed_to_patch_3d if ndim == 3 else boxed_to_patch_2d
+    for lvl in sd.levels:
+        ref = b2p(sb, sd, st_b, lvl, IPHI)
+        got = np.asarray(sd.interior(st_d, lvl, "phi"))
+        scale = max(np.max(np.abs(ref)), 1e-30)
+        assert np.max(np.abs(got - ref)) <= 5e-13 * scale, (
+            f"lvl {lvl}: max diff {np.max(np.abs(got - ref))}")
+    assert abs(float(res_b) - float(res_d)) <= 1e-11 * max(
+        1.0, abs(float(res_b)))
+
+
+def test_fmg_direct_coarse():
+    """FMG with the probed direct coarse solve on an eps AMR tree
+    converges to the boxed-path answer class (the direct level carries
+    no refinement faces; the probe sees the restricted eps)."""
+    sb, st_b, sd, st_d = setup_pair(3, "vlaplacian", coarse="direct")
+    st_b, res_b = sb.fas_fmg(st_b)
+    st_d, res_d = sd.fas_fmg(st_d)
+    # different coarse solves -> not bitwise, but both must contract to
+    # the same class
+    assert float(res_d) <= 2.0 * float(res_b) + 1e-8
+
+
+# ---------------------------------------------------------------------------
+# 2D cylindrical laplacian on AMR patches
+# ---------------------------------------------------------------------------
+
+def test_cylindrical_smooth_and_vcycle():
+    """Offset-aware radial weights: bitwise smoothing and ~1 ulp cycles
+    vs the boxed cylindrical path on a quadtree AMR tree."""
+    sb, st_b, sd, st_d = setup_pair(2, "laplacian",
+                                    geometry="cylindrical")
+    lam = jnp.asarray(0.0, jnp.float64)
+    top = sb.levels[-1]
+    st_b1 = sb._smooth_boxes(st_b, sb._to_device(), top, 1, lam)
+    st_d1 = sd._smooth(st_d, top, 1, lam)
+    ref = boxed_to_patch_2d(sb, sd, st_b1, top, IPHI)
+    got = np.asarray(sd.interior(st_d1, top, "phi"))
+    assert np.array_equal(got, ref), (
+        f"max diff {np.max(np.abs(got - ref))}")
+    st_b2, res_b = sb.fas_vcycle(st_b)
+    st_d2, res_d = sd.fas_vcycle(st_d)
+    for lvl in sd.levels:
+        ref = boxed_to_patch_2d(sb, sd, st_b2, lvl, IPHI)
+        got = np.asarray(sd.interior(st_d2, lvl, "phi"))
+        scale = max(np.max(np.abs(ref)), 1e-30)
+        assert np.max(np.abs(got - ref)) <= 5e-13 * scale
+
+
+# ---------------------------------------------------------------------------
+# true-analytic convergence (guards against both-paths-wrong bugs)
+# ---------------------------------------------------------------------------
+
+def _u(x):
+    return np.sin(2 * np.pi * x[..., 0]) * np.sin(2 * np.pi * x[..., 1])
+
+
+def _eps(x):
+    return 1.0 + 0.5 * np.cos(2 * np.pi * x[..., 0])
+
+
+def _rhs(x):
+    """div(eps grad u) for the fields above (analytic)."""
+    tp = 2 * np.pi
+    sx, cx = np.sin(tp * x[..., 0]), np.cos(tp * x[..., 0])
+    sy = np.sin(tp * x[..., 1])
+    deps = -0.5 * tp * sx
+    ux = tp * cx * sy
+    lap_u = -2 * tp ** 2 * sx * sy
+    return deps * ux + _eps(x) * lap_u
+
+
+@pytest.mark.parametrize("size", [16, 32])
+def test_vlaplacian_amr_convergence(size):
+    """2 FMG cycles reach discretization-level error on a 2D AMR tree;
+    the error is 2nd-order in h (checked via the size=16/32 pair)."""
+    tree = build_amr_centered(2, 2, np.full(2, size), 8,
+                              np.full(2, 1.0 / size))
+    cfg = MGConfig(operator="vlaplacian", smoother="gsrb",
+                   coarse_solver="smooth")
+    sd = make_solver(tree, cfg)
+    assert isinstance(sd, Dense2DAMRMGSolver)
+    sd.set_bc(0, BCType.DIRICHLET, fn=_u)
+    st = sd.allocate()
+    for lvl in sd.levels:
+        cc = sd.cell_centers(lvl)
+        st = sd.set_interior(st, lvl, "rhs", jnp.asarray(_rhs(cc)))
+        st = sd.set_coefficient(st, jnp.asarray(_eps(cc)), lvl=lvl)
+    st = sd.prepare_coefficient(st)
+    st, _ = sd.fas_fmg(st)
+    st, _ = sd.fas_fmg(st, have_guess=True)
+    top = sd.levels[-1]
+    err = np.max(np.abs(np.asarray(sd.interior(st, top, "phi"))
+                        - _u(sd.cell_centers(top))))
+    h = 1.0 / (2 * size)
+    assert err <= 12.0 * h ** 2, f"size {size}: err {err}"
