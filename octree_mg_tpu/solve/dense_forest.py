@@ -307,7 +307,8 @@ def dense_forest_supported(tree: Tree, cfg: MGConfig,
     """Whether the dense-forest path covers this configuration."""
     if not (tree.ndim == 3
             and tree.highest_lvl > 1
-            and cfg.operator in ("laplacian", "helmholtz")
+            and cfg.operator in ("laplacian", "helmholtz", "vlaplacian",
+                                 "vhelmholtz", "ahelmholtz")
             and cfg.geometry == "cartesian"
             and cfg.smoother in ("gsrb", "gs")):
         return False
@@ -375,7 +376,11 @@ class DenseForestMGSolver(DenseMGSolver):
             bc=[(1.0, 0.0, 0.0)] * 6,
             periodic=(False, False, False), dtype=self.cfg.dtype,
             b_const=[None] * 6, interpret=self.interpret,
-            n_eps=self.n_eps)
+            n_eps=self.n_eps,
+            # coefficient-field ghosts are pre-synthesized like phi's:
+            # identity face coefficients consume the assembled eps
+            # planes (variable-coefficient forests ride the jnp path)
+            eps_bc=([(1.0, 0.0, 0.0)] * 6 if self.n_eps else None))
 
     def _sync_pads(self, arr, lvl):
         # periodic wraps ride the face planes / wrap segments; the pads
@@ -405,6 +410,19 @@ class DenseForestMGSolver(DenseMGSolver):
         for lo, hi in self.geom[lvl].rects:
             m[lo[2]:hi[2], lo[1]:hi[1], lo[0]:hi[0]] = True
         return m
+
+    def set_interior(self, state, lvl, key, values):
+        """Coefficient fields get their garbage (non-footprint) cells
+        pinned to 1.0: zero eps there would make the garbage harmonic
+        means 0/0 = NaN, and NaN garbage survives footprint masking
+        (NaN*0 = NaN) in downstream reductions.  Footprint values pass
+        through untouched — phase parity is unaffected (the kernels'
+        eps reads at footprint cells see footprint or ring values
+        only)."""
+        if key.startswith("eps"):
+            values = jnp.where(jnp.asarray(self.footprint_mask(lvl)),
+                               values, jnp.ones((), self.cfg.dtype))
+        return super().set_interior(state, lvl, key, values)
 
     def _eval_bc_planes(self, lvl: int) -> List[jnp.ndarray]:
         """RAW boundary values b per face, unpadded [face shape] (zeros
@@ -522,14 +540,19 @@ class DenseForestMGSolver(DenseMGSolver):
             out[i] = interp_rb_strip(tmp[None], 3)[0]
         return out
 
-    def _ring_values(self, canvas, bplanes_raw, bcache, lvl
+    def _ring_values(self, canvas, bplanes_raw, bcache, lvl, key="phi"
                      ) -> Dict[int, jnp.ndarray]:
         """Synthesized ghost values per ring segment (3D, seg-rect
         shaped), computed from the pre-sweep canvas.  Kept separate from
         the canvas write so concave-corner conflicts (two axes claiming
         one garbage cell — impossible in the reference's per-box ghost
-        storage) can be resolved exactly by the fix-up passes."""
-        bc_phys = self._bc_static(lvl)
+        storage) can be resolved exactly by the fix-up passes.
+
+        key: coefficient fields (eps*) take Neumann-zero physical
+        ghosts (= own value, m_vlaplacian.f90:25-28) but the same
+        sides_rb refinement faces and periodic wraps as phi."""
+        bc_phys = self._ring_bc(lvl, key)
+        is_eps = key.startswith("eps")
         out = {}
         for i, seg in enumerate(self.segs[lvl]):
             if seg.sink != "ring":
@@ -547,6 +570,10 @@ class DenseForestMGSolver(DenseMGSolver):
                 if seg.kind == "rb":
                     c0, c1, c2 = RB_COEFFS
                     b = bcache[i]
+                elif is_eps:
+                    # ghost = own value: 1.0*x1, bitwise the boxed copy
+                    out[i] = jnp.expand_dims(1.0 * x1, ax)
+                    continue
                 else:
                     c0, c1, c2 = bc_phys[seg.nb]
                     b = self._seg_bwin(bplanes_raw, seg)
@@ -633,29 +660,61 @@ class DenseForestMGSolver(DenseMGSolver):
             return jnp.concatenate([vout, vin], axis=ax)
         return jnp.concatenate([vin, vout], axis=ax)
 
+    def _fix_nbrs(self, lvl, canvas, vals, planes, easm, d, fix):
+        """Direction-d (lo, hi) neighbor value pairs of a fix rect for
+        phi and, when coefficient fields are present, for the relevant
+        eps field — same read order as dense_kernels._halfsweep (eps
+        neighbors first, m_vlaplacian.f90:84-100)."""
+        cfg = self._kcfgs[lvl]
+        e_pair = None
+        if cfg.n_eps:
+            ec, epl, ev = easm[0 if cfg.n_eps == 1 else d]
+            e_pair = (self._nb_vals(lvl, ec, ev, epl, 2 * d,
+                                    fix.dirs[2 * d]),
+                      self._nb_vals(lvl, ec, ev, epl, 2 * d + 1,
+                                    fix.dirs[2 * d + 1]))
+        p_pair = (self._nb_vals(lvl, canvas, vals, planes, 2 * d,
+                                fix.dirs[2 * d]),
+                  self._nb_vals(lvl, canvas, vals, planes, 2 * d + 1,
+                                fix.dirs[2 * d + 1]))
+        return p_pair, e_pair
+
     def _fix_sweep(self, lvl, swept, canvas, vals, planes, rhs, lam,
-                   parity):
+                   parity, easm=()):
         """Recompute the GSRB update on the conflict rects with correct
         ghosts — same expression tree as dense_kernels._halfsweep, so
         the result is bitwise the conflict-free value."""
         cfg = self._kcfgs[lvl]
         for fix in self.conflicts[lvl]:
             rsl = self._cansl(fix.lo, fix.hi)
-            acc = -rhs[rsl]
-            for d in range(3):
-                lo_v = self._nb_vals(lvl, canvas, vals, planes, 2 * d,
-                                     fix.dirs[2 * d])
-                hi_v = self._nb_vals(lvl, canvas, vals, planes, 2 * d + 1,
-                                     fix.dirs[2 * d + 1])
-                acc = acc + cfg.idr2[d] * (lo_v + hi_v)
-            new = acc * (1.0 / (cfg.den0 + lam))
+            if cfg.n_eps:
+                num = -rhs[rsl]
+                den = lam
+                for d in range(3):
+                    e0 = easm[0 if cfg.n_eps == 1 else d][0][rsl]
+                    (plo, phi_), (elo, ehi) = self._fix_nbrs(
+                        lvl, canvas, vals, planes, easm, d, fix)
+                    c = 2.0 * e0 * elo / (e0 + elo) * cfg.idr2[d]
+                    num = num + c * plo
+                    den = den + c
+                    c = 2.0 * e0 * ehi / (e0 + ehi) * cfg.idr2[d]
+                    num = num + c * phi_
+                    den = den + c
+                new = num / den
+            else:
+                acc = -rhs[rsl]
+                for d in range(3):
+                    (lo_v, hi_v), _ = self._fix_nbrs(
+                        lvl, canvas, vals, planes, easm, d, fix)
+                    acc = acc + cfg.idr2[d] * (lo_v + hi_v)
+                new = acc * (1.0 / (cfg.den0 + lam))
             upd = fix.upd0 if parity == 0 else ~fix.upd0
             swept = swept.at[rsl].set(
                 jnp.where(jnp.asarray(upd), new, swept[rsl]))
         return swept
 
     def _fix_apply(self, lvl, out, canvas, vals, planes, rhs, lam,
-                   residual):
+                   residual, easm=()):
         """Recompute A(phi) (or rhs - A(phi)) on the conflict rects —
         same expression tree as dense_kernels._apply_expr."""
         cfg = self._kcfgs[lvl]
@@ -664,17 +723,23 @@ class DenseForestMGSolver(DenseMGSolver):
             p = canvas[rsl]
             o = -lam * p
             for d in range(3):
-                lo_v = self._nb_vals(lvl, canvas, vals, planes, 2 * d,
-                                     fix.dirs[2 * d])
-                hi_v = self._nb_vals(lvl, canvas, vals, planes, 2 * d + 1,
-                                     fix.dirs[2 * d + 1])
-                o = o + cfg.idr2[d] * (lo_v + hi_v - 2.0 * p)
+                (lo_v, hi_v), e_pair = self._fix_nbrs(
+                    lvl, canvas, vals, planes, easm, d, fix)
+                if cfg.n_eps:
+                    e0 = easm[0 if cfg.n_eps == 1 else d][0][rsl]
+                    elo, ehi = e_pair
+                    c = 2.0 * e0 * elo / (e0 + elo) * cfg.idr2[d]
+                    o = o + c * (lo_v - p)
+                    c = 2.0 * e0 * ehi / (e0 + ehi) * cfg.idr2[d]
+                    o = o + c * (hi_v - p)
+                else:
+                    o = o + cfg.idr2[d] * (lo_v + hi_v - 2.0 * p)
             if residual:
                 o = rhs[rsl] - o
             out = out.at[rsl].set(o)
         return out
 
-    def _face_planes(self, canvas, bplanes_raw, bcache, lvl):
+    def _face_planes(self, canvas, bplanes_raw, bcache, lvl, key="phi"):
         """Assemble the six ghost planes consumed by the kernels with
         (1,0,0) coefficients.  Uncovered positions stay zero (they abut
         garbage cells only)."""
@@ -682,7 +747,8 @@ class DenseForestMGSolver(DenseMGSolver):
         dt = self.cfg.dtype
         shapes = [(Z, Y), (Z, Y), (Z, X), (Z, X), (Y, X), (Y, X)]
         planes = [jnp.zeros(s, dt) for s in shapes]
-        bc_phys = self._bc_static(lvl)
+        bc_phys = self._ring_bc(lvl, key)
+        is_eps = key.startswith("eps")
         for i, seg in enumerate(self.segs[lvl]):
             if seg.sink != "face":
                 continue
@@ -698,10 +764,12 @@ class DenseForestMGSolver(DenseMGSolver):
                 if seg.kind == "rb":
                     c0, c1, c2 = RB_COEFFS
                     b = bcache[i]
+                elif is_eps:
+                    c0, c1, c2, b = 0.0, 1.0, 0.0, None
                 else:
                     c0, c1, c2 = bc_phys[seg.nb]
                     b = self._seg_bwin(bplanes_raw, seg)
-                vals = c0 * b + c1 * x1
+                vals = 1.0 * x1 if b is None else c0 * b + c1 * x1
                 if c2 != 0.0:
                     vals = vals + c2 * x2
             tdims = [dd for dd in range(3) if dd != d]
@@ -729,10 +797,19 @@ class DenseForestMGSolver(DenseMGSolver):
             bcache = self._rb_cache(state, lvl, key)
         canvas = state[key][lvl]
         raw = state["bc"][lvl]
-        vals = self._ring_values(canvas, raw, bcache, lvl)
+        vals = self._ring_values(canvas, raw, bcache, lvl, key)
         canvas = self._write_ring(canvas, vals, lvl, prefer)
-        planes = self._face_planes(canvas, raw, bcache, lvl)
+        planes = self._face_planes(canvas, raw, bcache, lvl, key)
         return canvas, planes, vals
+
+    def _eps_assemble(self, state, lvl):
+        """Per coefficient field (eps0..): (ringed canvas, face planes,
+        ring values) — frozen across a phase, so computed once.  The
+        ringed canvases feed the kernels' eps rolls; the planes feed the
+        identity-coefficient eps_bc synthesis; the ring values serve the
+        concave-corner fix-ups."""
+        return [self._assemble(state, lvl, f"eps{i}")
+                for i in range(self.n_eps)]
 
     def _ext(self, state, lvl, key, bcache=None, prefer=None):
         """[Z+2, Y+2, X+2] canvas with ALL ghosts materialized: interior
@@ -783,39 +860,46 @@ class DenseForestMGSolver(DenseMGSolver):
         raw = state["bc"][lvl]
         canvas = state["phi"][lvl]
         rhs = state["rhs"][lvl]
-        eps = self._eps(state, lvl)
         plan = self.conflicts.get(lvl)
+        easm = self._eps_assemble(state, lvl)
+        eps = tuple(a[0] for a in easm)
+        epl = [a[1] for a in easm] if easm else None
         for n in range(2 * n_cycle):
             vals = self._ring_values(canvas, raw, bcache, lvl)
             ringed = self._write_ring(canvas, vals, lvl)
             planes = self._face_planes(ringed, raw, bcache, lvl)
             canvas = dk.half_sweep_dense(cfg, ringed, rhs, lam, planes,
-                                         parity=n % 2, eps=eps)
+                                         parity=n % 2, eps=eps,
+                                         eps_planes=epl)
             if plan:
                 canvas = self._fix_sweep(lvl, canvas, ringed, vals,
-                                         planes, rhs, lam, n % 2)
+                                         planes, rhs, lam, n % 2, easm)
         return self._set(state, "phi", lvl, canvas)
 
     def _residual(self, state, lvl, lam):
         cfg = self._kcfgs[lvl]
         canvas, planes, vals = self._assemble(state, lvl, "phi")
-        ires = dk.stencil_apply_dense(cfg, canvas, state["rhs"][lvl], lam,
-                                      planes, residual=True,
-                                      eps=self._eps(state, lvl))
+        easm = self._eps_assemble(state, lvl)
+        ires = dk.stencil_apply_dense(
+            cfg, canvas, state["rhs"][lvl], lam, planes, residual=True,
+            eps=tuple(a[0] for a in easm),
+            eps_planes=[a[1] for a in easm] if easm else None)
         if self.conflicts.get(lvl):
             ires = self._fix_apply(lvl, ires, canvas, vals, planes,
-                                   state["rhs"][lvl], lam, True)
+                                   state["rhs"][lvl], lam, True, easm)
         return self._set(state, "ires", lvl, ires)
 
     def _apply_op(self, state, lvl, lam):
         cfg = self._kcfgs[lvl]
         canvas, planes, vals = self._assemble(state, lvl, "phi")
-        out = dk.stencil_apply_dense(cfg, canvas, state["rhs"][lvl], lam,
-                                     planes, residual=False,
-                                     eps=self._eps(state, lvl))
+        easm = self._eps_assemble(state, lvl)
+        out = dk.stencil_apply_dense(
+            cfg, canvas, state["rhs"][lvl], lam, planes, residual=False,
+            eps=tuple(a[0] for a in easm),
+            eps_planes=[a[1] for a in easm] if easm else None)
         if self.conflicts.get(lvl):
             out = self._fix_apply(lvl, out, canvas, vals, planes,
-                                  state["rhs"][lvl], lam, False)
+                                  state["rhs"][lvl], lam, False, easm)
         return out
 
     def _max_residual(self, state, lvl, lam):
@@ -947,10 +1031,13 @@ class DenseForestMGSolver(DenseMGSolver):
     # ------------------------------------------------------------------
     # direct coarse solve plumbing
     # ------------------------------------------------------------------
-    def _build_direct(self):
+    def _build_direct(self, state=None):
         """The coarsest cycled level is gated to be a full-domain
         uniform canvas; probe its operator through the forest apply so
-        BC synthesis (incl. periodic wraps via planes) is captured."""
+        BC synthesis (incl. periodic wraps via planes) is captured.
+        Variable-coefficient operators pass ``state`` so the probe sees
+        the restricted coarse-level eps values (the matrix depends on
+        them — the base class's _build_direct_probe contract)."""
         lvl = self.levels[0]
         ishape = self._ishape(lvl)
         m = int(np.prod(ishape))
@@ -962,7 +1049,9 @@ class DenseForestMGSolver(DenseMGSolver):
         state0 = {"phi": {lvl: zeros}, "rhs": {lvl: zeros},
                   "bc": {lvl: bcraw}}
         for i in range(self.n_eps):
-            state0[f"eps{i}"] = {lvl: jnp.ones_like(zeros)}
+            e = (state[f"eps{i}"][lvl] if state is not None
+                 else jnp.ones_like(zeros))
+            state0[f"eps{i}"] = {lvl: e}
 
         def apply_flat(v):
             st = dict(state0)
@@ -975,3 +1064,6 @@ class DenseForestMGSolver(DenseMGSolver):
         A = (np.asarray(cols, np.float64).T
              - np.asarray(a0, np.float64)[:, None])
         return self._eigen_package(A)
+
+    def _build_direct_probe(self, state):
+        return self._build_direct(state)

@@ -193,7 +193,8 @@ def dense_forest2d_supported(tree: Tree, cfg: MGConfig,
     """Whether the 2D dense-forest path covers this configuration."""
     if not (tree.ndim == 2
             and tree.highest_lvl > 1
-            and cfg.operator in ("laplacian", "helmholtz")
+            and cfg.operator in ("laplacian", "helmholtz", "vlaplacian",
+                                 "vhelmholtz", "ahelmholtz")
             and cfg.geometry == "cartesian"
             and cfg.smoother in ("gsrb", "gs")):
         return False
@@ -278,6 +279,17 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         for lo, hi in self.geom[lvl].rects:
             m[lo[1]:hi[1], lo[0]:hi[0]] = True
         return m
+
+    def set_interior(self, state, lvl, key, values):
+        """Coefficient fields get their garbage (non-footprint) cells
+        pinned to 1.0 — zero eps there makes the garbage harmonic means
+        0/0 = NaN, and NaN garbage survives footprint masking (NaN*0 =
+        NaN).  Footprint values pass through untouched (see
+        DenseForestMGSolver.set_interior)."""
+        if key.startswith("eps"):
+            values = jnp.where(jnp.asarray(self.footprint_mask(lvl)),
+                               values, jnp.ones((), self.cfg.dtype))
+        return super().set_interior(state, lvl, key, values)
 
     def _eval_bc_planes(self, lvl: int) -> List[jnp.ndarray]:
         """RAW boundary values b per face, full face extent (zeros off
@@ -378,11 +390,14 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
                 interp_rb_strip(self._pin_repl(tmp)[None], 2)[0])
         return out
 
-    def _ring_values(self, canvas, bplanes_raw, bcache, lvl
+    def _ring_values(self, canvas, bplanes_raw, bcache, lvl, key="phi"
                      ) -> Dict[int, jnp.ndarray]:
         """Synthesized ghost values per ring segment, from the pre-sweep
-        canvas."""
-        bc_phys = self._bc_static(lvl)
+        canvas.  Coefficient fields (eps*) take Neumann-zero physical
+        ghosts (= own value, m_vlaplacian.f90:25-28) but the same
+        sides_rb refinement faces and periodic wraps as phi."""
+        bc_phys = self._ring_bc(lvl, key)
+        is_eps = key.startswith("eps")
         out = {}
         for i, seg in enumerate(self.segs[lvl]):
             if seg.sink != "ring":
@@ -399,6 +414,10 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
                 if seg.kind == "rb":
                     c0, c1, c2 = RB_COEFFS
                     b = bcache[i]
+                elif is_eps:
+                    out[i] = self._pin_repl(
+                        jnp.expand_dims(1.0 * x1, ax))
+                    continue
                 else:
                     c0, c1, c2 = bc_phys[seg.nb]
                     b = self._seg_bwin(bplanes_raw, seg)
@@ -427,7 +446,7 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         td = 1 - seg.nb // 2
         return bplanes_raw[seg.nb][int(seg.lo[td]):int(seg.hi[td])]
 
-    def _face_vecs(self, canvas, bplanes_raw, bcache, lvl):
+    def _face_vecs(self, canvas, bplanes_raw, bcache, lvl, key="phi"):
         """Assemble the four ghost vectors consumed with (1,0,0)
         coefficients; uncovered positions stay zero (they abut garbage
         cells only)."""
@@ -435,7 +454,8 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         dt = self.cfg.dtype
         vecs = [jnp.zeros((Y,), dt), jnp.zeros((Y,), dt),
                 jnp.zeros((X,), dt), jnp.zeros((X,), dt)]
-        bc_phys = self._bc_static(lvl)
+        bc_phys = self._ring_bc(lvl, key)
+        is_eps = key.startswith("eps")
         for i, seg in enumerate(self.segs[lvl]):
             if seg.sink != "face":
                 continue
@@ -451,10 +471,12 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
                 if seg.kind == "rb":
                     c0, c1, c2 = RB_COEFFS
                     b = bcache[i]
+                elif is_eps:
+                    c0, c1, c2, b = 0.0, 1.0, 0.0, None
                 else:
                     c0, c1, c2 = bc_phys[seg.nb]
                     b = self._seg_bwin(bplanes_raw, seg)
-                vals = c0 * b + c1 * x1
+                vals = 1.0 * x1 if b is None else c0 * b + c1 * x1
                 if c2 != 0.0:
                     vals = vals + c2 * x2
             sl = slice(int(seg.lo[td]), int(seg.hi[td]))
@@ -469,10 +491,32 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
             bcache = self._rb_cache(state, lvl, key)
         canvas = state[key][lvl]
         raw = state["bc"][lvl]
-        vals = self._ring_values(canvas, raw, bcache, lvl)
+        vals = self._ring_values(canvas, raw, bcache, lvl, key)
         ringed = self._write_ring(canvas, vals, lvl, prefer)
-        vecs = self._face_vecs(ringed, raw, bcache, lvl)
+        vecs = self._face_vecs(ringed, raw, bcache, lvl, key)
         return ringed, vecs, vals
+
+    def _eps_nbrs(self, state, lvl, masks):
+        """Per coefficient field: direction-correct (lo, hi) neighbor
+        pairs per dim + the raw canvas (the e0 centers).  Frozen across
+        a phase — computed once.  Each field's ghosts ride the same
+        ring/face synthesis as phi (Neumann-zero physical, sides_rb
+        refinement, wraps), consumed via the identity face
+        coefficients."""
+        cfg = self._kcfgs[lvl]
+        raw = state["bc"][lvl]
+        nbrs, canvs = [], []
+        for i in range(self.n_eps):
+            key = f"eps{i}"
+            bcache = self._rb_cache(state, lvl, key)
+            ec = state[key][lvl]
+            evals = self._ring_values(ec, raw, bcache, lvl, key)
+            evecs = self._face_vecs(ec, raw, bcache, lvl, key)
+            ebpw = d2._bvals(cfg, evecs)
+            nbrs.append(self._dir_neighbors(cfg, ec, evals, lvl, masks,
+                                            ebpw))
+            canvs.append(ec)
+        return nbrs, canvs
 
     def _dir_neighbors(self, cfg, canvas, vals, lvl, masks, bpw):
         """Per-dim (lo, hi) neighbor arrays: rolls of the RAW state
@@ -532,17 +576,36 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         raw = state["bc"][lvl]
         canvas = state["phi"][lvl]
         rhs = state["rhs"][lvl]
+        enbrs, ecanv = self._eps_nbrs(state, lvl, masks)
         for n in range(2 * n_cycle):
             vals = self._ring_values(canvas, raw, bcache, lvl)
             vecs = self._face_vecs(canvas, raw, bcache, lvl)
             bpw = d2._bvals(cfg, vecs)
             nbrs = self._dir_neighbors(cfg, canvas, vals, lvl, masks,
                                        bpw)
-            acc = -rhs
-            for dd in range(2):
-                lo, hi = nbrs[dd]
-                acc = acc + cfg.idr2[dd] * (lo + hi)
-            new = acc * (1.0 / (cfg.den0 + lam2))
+            if cfg.n_eps:
+                # harmonic-mean face coefficients, dense2d._halfsweep's
+                # eps accumulation order (m_vlaplacian.f90:84-100)
+                num = -rhs
+                den = lam2
+                for dd in range(2):
+                    i = 0 if cfg.n_eps == 1 else dd
+                    e0 = ecanv[i]
+                    elo, ehi = enbrs[i][dd]
+                    plo, phi_ = nbrs[dd]
+                    c = 2.0 * e0 * elo / (e0 + elo) * cfg.idr2[dd]
+                    num = num + c * plo
+                    den = den + c
+                    c = 2.0 * e0 * ehi / (e0 + ehi) * cfg.idr2[dd]
+                    num = num + c * phi_
+                    den = den + c
+                new = num / den
+            else:
+                acc = -rhs
+                for dd in range(2):
+                    lo, hi = nbrs[dd]
+                    acc = acc + cfg.idr2[dd] * (lo + hi)
+                new = acc * (1.0 / (cfg.den0 + lam2))
             canvas = (jnp.where(upd, new, canvas) if n % 2 == 0
                       else jnp.where(upd, canvas, new))
         return self._set(state, "phi", lvl, canvas)
@@ -559,9 +622,21 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         bpw = d2._bvals(cfg, vecs)
         nbrs = self._dir_neighbors(cfg, canvas, vals, lvl, masks, bpw)
         out = -lam2 * canvas
-        for dd in range(2):
-            lo, hi = nbrs[dd]
-            out = out + cfg.idr2[dd] * (lo + hi - 2.0 * canvas)
+        if cfg.n_eps:
+            enbrs, ecanv = self._eps_nbrs(state, lvl, masks)
+            for dd in range(2):
+                i = 0 if cfg.n_eps == 1 else dd
+                e0 = ecanv[i]
+                elo, ehi = enbrs[i][dd]
+                plo, phi_ = nbrs[dd]
+                c = 2.0 * e0 * elo / (e0 + elo) * cfg.idr2[dd]
+                out = out + c * (plo - canvas)
+                c = 2.0 * e0 * ehi / (e0 + ehi) * cfg.idr2[dd]
+                out = out + c * (phi_ - canvas)
+        else:
+            for dd in range(2):
+                lo, hi = nbrs[dd]
+                out = out + cfg.idr2[dd] * (lo + hi - 2.0 * canvas)
         return state["rhs"][lvl] - out if residual else out
 
     def _residual(self, state, lvl, lam):
@@ -682,9 +757,11 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
     def _ensure_direct(self, state=None):
         if self.coarse_solver != "direct" or self._direct is not None:
             return
-        self._direct = self._forest_direct() or "unavailable"
+        if self.n_eps and state is None:
+            return  # matrix depends on eps; public entries pass state
+        self._direct = self._forest_direct(state) or "unavailable"
 
-    def _forest_direct(self):
+    def _forest_direct(self, state=None):
         lvl = self.levels[0]
         X, Y = self.dims[lvl]
         m = X * Y
@@ -692,10 +769,14 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         zeros = jnp.zeros((Y, X), dt)
         bcraw = self._eval_bc_planes(lvl)
         lam0 = jnp.asarray(0.0, dt)
+        eps0 = {f"eps{i}": {lvl: (state[f"eps{i}"][lvl]
+                                  if state is not None
+                                  else jnp.ones((Y, X), dt))}
+                for i in range(self.n_eps)}
 
         def apply_flat(v):
             st = {"phi": {lvl: v.reshape(Y, X)}, "rhs": {lvl: zeros},
-                  "bc": {lvl: bcraw}}
+                  "bc": {lvl: bcraw}, **eps0}
             return self._apply_op(st, lvl, lam0).reshape(-1)
 
         cols = jax.jit(jax.vmap(apply_flat))(jnp.eye(m, dtype=dt))
