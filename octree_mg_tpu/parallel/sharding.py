@@ -7,13 +7,23 @@ agglomerated onto one rank (:27-29,117-130), and halo exchange done with
 per-rank-pair buffers.
 
 TPU-native equivalent: the box axis of each level array is sharded across
-a 1D mesh (equal Morton chunks == mg_load_balance_simple), coarse levels
-are **replicated** instead of serialized (their compute is trivial; this
-removes the reference's coarse-grid bottleneck and the single-rank
-restriction of m_multigrid.f90:197-200), and the halo gathers lower to
-XLA collectives over ICI.  No communication code is written by hand —
-the static gather maps express the exchange pattern and GSPMD partitions
-it.
+a 1D mesh in equal contiguous chunks, coarse levels are **replicated**
+instead of serialized (their compute is trivial; this removes the
+reference's coarse-grid bottleneck and the single-rank restriction of
+m_multigrid.f90:197-200), and the halo gathers lower to XLA collectives
+over ICI.  No communication code is written by hand — the static gather
+maps express the exchange pattern and GSPMD partitions it.
+
+Load-balance contract: equal contiguous chunks by themselves realize
+only ``mg_load_balance_simple`` (Morton chunks).  The full/parents
+policies are realized by REORDERING each level's box-id list so that the
+boxes a policy assigns to rank k occupy chunk k —
+``core.load_balance.realize_ranks`` (called by ``apply_load_balance``)
+performs that id reordering on the tree before this module chunks it.
+Callers that want `mg_load_balance` / `mg_load_balance_parents`
+placement semantics MUST build the tree through ``apply_load_balance``
+(tests/test_load_balance.py pins chunk == policy rank sets); trees that
+skip it get the simple policy.
 """
 from __future__ import annotations
 

@@ -32,8 +32,10 @@ rectangle; everything else used to fall back to the boxed solver at
 Periodic exteriors are supported (including refinement levels that end
 inside a periodic domain: their exterior ghosts interpolate from the
 wrapped coarse cells).  Gating (``dense_forest_supported``): 3D
-cartesian laplacian/helmholtz, GSRB, 2:1-balanced forest, footprint
-filling >= MIN_FILL of each canvas.
+cartesian operators (laplacian/helmholtz and the variable-coefficient
+vlaplacian/vhelmholtz/ahelmholtz families — the eps fields ride the
+same ring/face ghost synthesis), GSRB, 2:1-balanced forest, footprint
+filling >= min_fill of each canvas.
 """
 from __future__ import annotations
 
