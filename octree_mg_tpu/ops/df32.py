@@ -16,8 +16,10 @@ at all, so everything fuses into fast XLA elementwise chains.
 Exactness gating (``df32_ok``): every stencil product must be exact in
 f32, which holds when
 
-* the operator is the constant-coefficient cartesian laplacian
-  (lam = 0) with equal grid spacing per dim,
+* the operator is the constant-coefficient cartesian laplacian or
+  helmholtz (the +lam*x term rides an exact Dekker TwoProduct with lam
+  split host-side — ``split_lam``/``two_prod``) with equal grid
+  spacing per dim,
 * 1/dx^2 is a power of two (unit-cube power-of-two grids — the common
   case and every benchmark config; den0 = 6/dx^2 splits into the exact
   4/dx^2 + 2/dx^2 pair),
@@ -77,6 +79,31 @@ def fast_two_sum(a, b):
     s = a + b
     e = b - (s - a)
     return s, e
+
+
+def veltkamp_split(a):
+    """Split a into (a1, a2), a == a1 + a2 with both halves carrying
+    <= 12 significant bits, so any a_i * b_j product of two splits is
+    EXACT in f32 (Veltkamp; Dekker 1971).  Pure mul/add — no fma
+    needed.  Under XLA, `c - (c - a)` is a float-add chain the
+    simplifier does not collapse (unlike TwoSum's constant-operand
+    hazard, both operands here are traced; pinned by
+    tests/test_df32.py::test_two_prod_jit_exact)."""
+    c = jnp.float32(4097.0) * a          # 2^12 + 1
+    a1 = c - (c - a)
+    return a1, a - a1
+
+
+def two_prod(a, b):
+    """Dekker TwoProduct: p + e == a * b exactly (f32, no overflow
+    range issues at the magnitudes the residual handles).  Used for the
+    λ·x term of the Helmholtz residual — the only stencil product that
+    is not exact by construction (ops/df32 module docstring)."""
+    p = a * b
+    a1, a2 = veltkamp_split(a)
+    b1, b2 = veltkamp_split(b)
+    e = ((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
+    return p, e
 
 
 def accumulate_df32(xhi, xlo, delta):
@@ -149,9 +176,17 @@ def _cb_pairs(cfg, b_values=None) -> List[Tuple[float, float]]:
 # the residual
 # ---------------------------------------------------------------------------
 
-def _df32_expr(cfg, xhi, xlo, rhshi, rhslo, masks, cbs, interpret):
+def _df32_expr(cfg, xhi, xlo, rhshi, rhslo, masks, cbs, interpret,
+               lam_pair=None):
     """The shared residual expression over one (window or full) array
-    set — see residual_df32 for semantics."""
+    set — see residual_df32 for semantics.
+
+    lam_pair: (lam_hi, lam_lo) host-side f32 split of the Helmholtz λ
+    (None for the λ=0 laplacian).  The +λ·x residual term rides a
+    Dekker TwoProduct (exact), with the cross terms λ_hi·x_lo and
+    λ_lo·x_hi landing in the compensation channel — keeping the whole
+    residual in the double-float exactness class
+    (m_helmholtz.f90:111-154's operator at f64 accuracy)."""
     idr2 = cfg.idr2[0]
 
     comp = jnp.zeros_like(xhi)   # first-order compensation channel
@@ -204,19 +239,34 @@ def _df32_expr(cfg, xhi, xlo, rhshi, rhslo, masks, cbs, interpret):
         comp = comp + (e - idr2 * ed)
         alo = alo + idr2 * (vlo_l + vhi_l)
 
-    # + (den0 + lam) * x with lam = 0 and den0 = 6*idr2 split into the
-    # exact 4*idr2 + 2*idr2 pair
+    # + (den0 + lam) * x with den0 = 6*idr2 split into the exact
+    # 4*idr2 + 2*idr2 pair
     s, e = two_sum(s, (4.0 * idr2) * xhi)
     comp = comp + e
     s, e = two_sum(s, (2.0 * idr2) * xhi)
     comp = comp + e
     comp = comp + rhslo - (alo - (6.0 * idr2) * xlo)
+    if lam_pair is not None:
+        lam_h, lam_l = lam_pair
+        p, pe = two_prod(xhi, lam_h)      # traced first (cf. two_sum)
+        s, e = two_sum(s, p)
+        comp = comp + (e + pe) + (lam_h * xlo + lam_l * xhi)
     r_hi, _ = two_sum(s, comp)
     return r_hi
 
 
+def split_lam(lam: float):
+    """Host-side split of a Helmholtz λ into the (hi, lo) f32 pair the
+    residual's TwoProduct term consumes; None for λ == 0 (keeps the
+    laplacian expression free of the extra flops)."""
+    if float(lam) == 0.0:
+        return None
+    hi, lo = split_f64(np.float64(lam))
+    return (float(hi), float(lo))
+
+
 def residual_df32(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi, rhslo,
-                  z_gates=None, cbs=None):
+                  z_gates=None, cbs=None, lam_pair=None):
     """r_hi ~= (rhshi + rhslo) - A(xhi + xlo), exact to the double-float
     representation (see module docstring).  Inputs are padded arrays in
     the dense layout; pads follow the usual garbage-by-contract rules
@@ -228,11 +278,12 @@ def residual_df32(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi, rhslo,
     g = dk._full_iotas(cfg)
     masks = dk._face_masks(cfg, g, z_gates)
     return _df32_expr(cfg, xhi, xlo, rhshi, rhslo, masks,
-                      cbs if cbs is not None else _cb_pairs(cfg), True)
+                      cbs if cbs is not None else _cb_pairs(cfg), True,
+                      lam_pair=lam_pair)
 
 
 def residual_df32_dense(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi,
-                        rhslo, z_gates=None, cbs=None):
+                        rhslo, z_gates=None, cbs=None, lam_pair=None):
     """Mosaic rendering of residual_df32: one window-DMA pass over the
     four inputs (x_lo and rhs_lo ride the kernel machinery's
     coefficient-window plumbing, which slices them with the same halo
@@ -240,7 +291,8 @@ def residual_df32_dense(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi,
     shapes.  Bitwise-identical to residual_df32 (tests/test_df32.py)."""
     assert df32_ok(cfg), "residual_df32_dense called outside its gate"
     if not cfg.use_kernel:
-        return residual_df32(cfg, xhi, xlo, rhshi, rhslo, z_gates, cbs)
+        return residual_df32(cfg, xhi, xlo, rhshi, rhslo, z_gates, cbs,
+                             lam_pair=lam_pair)
     kcfg = dk.DenseStencilConfig(
         dims=cfg.dims, idr2=cfg.idr2, bc=cfg.bc, periodic=cfg.periodic,
         dtype=cfg.dtype, b_const=cfg.b_const, interpret=cfg.interpret,
@@ -251,7 +303,7 @@ def residual_df32_dense(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi,
     def body(p, r, lam_s, masks, g, bpw, epw):
         xlo_w, rhslo_w = epw
         return _df32_expr(cfg, p, xlo_w, r, rhslo_w, masks, cbs,
-                          cfg.interpret)
+                          cfg.interpret, lam_pair=lam_pair)
 
     return dk._call_kernel(kcfg, body, xhi, rhshi,
                            jnp.zeros((), cfg.dtype), [None] * 6,
@@ -282,7 +334,8 @@ def df32_ok_2d(cfg) -> bool:
     return True
 
 
-def residual_df32_2d(cfg, xhi, xlo, rhshi, rhslo, cbs=None):
+def residual_df32_2d(cfg, xhi, xlo, rhshi, rhslo, cbs=None,
+                     lam_pair=None):
     """r_hi ~= (rhshi + rhslo) - A(xhi + xlo) on the dense 2D [Y, X]
     layout — the 2D rendering of :func:`residual_df32` (same error-free
     transformation structure, exactness argument and two_sum operand
@@ -342,5 +395,10 @@ def residual_df32_2d(cfg, xhi, xlo, rhshi, rhslo, cbs=None):
     s, e = two_sum(s, (4.0 * idr2) * xhi)
     comp = comp + e
     comp = comp + rhslo - (alo - (4.0 * idr2) * xlo)
+    if lam_pair is not None:
+        lam_h, lam_l = lam_pair
+        p, pe = two_prod(xhi, lam_h)      # traced first (cf. two_sum)
+        s, e = two_sum(s, p)
+        comp = comp + (e + pe) + (lam_h * xlo + lam_l * xhi)
     r_hi, _ = two_sum(s, comp)
     return r_hi

@@ -15,8 +15,9 @@ the f32 floor (docs/PERF.md "dtype study").  The residual runs in
 z-chunks so peak memory stays ~5 f32 fields.
 
 Gating: `ops.df32.df32_ok` (power-of-two 1/dx^2, constant-coefficient
-laplacian, exact BC coefficient classes).  bench.py falls back to the
-XLA-emulated-f64 chunked residual outside the gate.
+laplacian or helmholtz — lam rides an exact TwoProduct — and exact BC
+coefficient classes).  bench.py falls back to the XLA-emulated-f64
+chunked residual outside the gate.
 """
 from __future__ import annotations
 
@@ -30,7 +31,7 @@ from jax import lax
 
 from ..ops import dense_kernels as dk
 from ..ops.df32 import (_cb_pairs, accumulate_df32, df32_ok,
-                        residual_df32, residual_df32_dense)
+                        residual_df32, residual_df32_dense, split_lam)
 from .dense import DenseMGSolver, _ISL
 
 
@@ -39,11 +40,24 @@ class RefinedPoisson:
 
     Jitted programs are built once per instance and reused across
     ``solve`` calls (bench-friendly).
+
+    lam: Helmholtz λ (∇²φ − λφ = f, m_helmholtz.f90) — the residual's
+    +λ·x term rides an exact Dekker TwoProduct with λ split host-side
+    into a double-float pair (ops.df32.split_lam), so Helmholtz solves
+    reach the same f64 accuracy class as Poisson.  Requires the solver
+    to be built with operator="helmholtz" when lam != 0 (the inner FMG
+    must smooth with the same λ).
     """
 
     def __init__(self, solver: DenseMGSolver, nch: Optional[int] = None,
-                 bc_values: Optional[List[float]] = None):
+                 bc_values: Optional[List[float]] = None,
+                 lam: float = 0.0):
         self.solver = solver
+        self.lam = float(lam)
+        self.lam_pair = split_lam(lam)
+        if self.lam != 0.0 and solver.cfg.operator != "helmholtz":
+            raise ValueError("lam != 0 needs an operator='helmholtz' "
+                             "inner solver (got %r)" % solver.cfg.operator)
         top = solver.levels[-1]
         self.top = top
         cfg = solver._kcfgs[top]
@@ -97,11 +111,13 @@ class RefinedPoisson:
             if self.cfg.use_kernel:
                 # Mosaic path: one window-DMA pass, no chunking needed
                 ri = residual_df32_dense(self.cfg, xhi, xlo, rhshi_p,
-                                         rhslo_p, cbs=self.cbs)[_ISL]
+                                         rhslo_p, cbs=self.cbs,
+                                         lam_pair=self.lam_pair)[_ISL]
                 return jnp.max(jnp.abs(ri)), ri
             if nch == 1:
                 ri = residual_df32(self.cfg, xhi, xlo, rhshi_p,
-                                   rhslo_p, cbs=self.cbs)[_ISL]
+                                   rhslo_p, cbs=self.cbs,
+                                   lam_pair=self.lam_pair)[_ISL]
                 return jnp.max(jnp.abs(ri)), ri
 
             def chunk(i, carry):
@@ -111,7 +127,7 @@ class RefinedPoisson:
                      for a in (xhi, xlo, rhshi_p, rhslo_p)]
                 r = residual_df32(self.ccfg, *w,
                                   z_gates=(i == 0, i == nch - 1),
-                                  cbs=self.cbs)
+                                  cbs=self.cbs, lam_pair=self.lam_pair)
                 ri = r[_ISL]
                 mx = jnp.maximum(mx, jnp.max(jnp.abs(ri)))
                 out = lax.dynamic_update_slice_in_dim(out, ri, i * CH,
@@ -147,7 +163,8 @@ class RefinedPoisson:
             xhi = solver._sync_pads(xhi, top)
             xlo = solver._sync_pads(xlo, top)
             ri = residual_df32_dense(self.cfg, xhi, xlo, rhshi_p,
-                                     rhslo_p, cbs=self.cbs)[_ISL]
+                                     rhslo_p, cbs=self.cbs,
+                                     lam_pair=self.lam_pair)[_ISL]
             mx = jnp.max(jnp.abs(ri))
             return xhi, xlo, rhs_buf.at[_ISL].set(ri), mx
         return f
@@ -183,7 +200,8 @@ class RefinedPoisson:
             if rtol:  # early exit requested: must sync each outer
                 if float(mx) <= rtol * float(norms_dev[0]):
                     break
-            state, _ = solver.fas_fmg(state, need_res=False)
+            state, _ = solver.fas_fmg(state, lam=self.lam,
+                                      need_res=False)
             e32 = state["phi"][top]
         norms = [float(m) for m in norms_dev]
         return self._interior(xhi), self._interior(xlo), norms, state
@@ -208,7 +226,8 @@ class RefinedPoisson:
             if rtol and norms[-1] <= rtol * norms[0]:
                 break
             state = solver.set_interior(state, top, "rhs", r32)
-            state, _ = solver.fas_fmg(state, need_res=False)
+            state, _ = solver.fas_fmg(state, lam=self.lam,
+                                      need_res=False)
             xhi, xlo = self._jit_accum(xhi, xlo, state["phi"][top])
         mx, _ = self._jit_residual(xhi, xlo, rhshi_p, rhslo_p)
         norms.append(float(mx))
@@ -223,10 +242,11 @@ class ShardedRefinedPoisson(RefinedPoisson):
     write.  The inner FMG is the sharded solver's own.  Bitwise vs the
     single-device RefinedPoisson (tests/test_dense_shard.py)."""
 
-    def __init__(self, solver, bc_values: Optional[List[float]] = None):
+    def __init__(self, solver, bc_values: Optional[List[float]] = None,
+                 lam: float = 0.0):
         from .dense_shard import ShardedDenseMGSolver
         assert isinstance(solver, ShardedDenseMGSolver)
-        super().__init__(solver, nch=1, bc_values=bc_values)
+        super().__init__(solver, nch=1, bc_values=bc_values, lam=lam)
         self.sharded_top = solver.sharded[self.top]
         if self.sharded_top:
             Z, Y, X = self.shape
@@ -280,7 +300,8 @@ class ShardedRefinedPoisson(RefinedPoisson):
                 xlo = solver._sync_pads(xlo, top)
                 ri = residual_df32_dense(cfg, xhi, xlo, rhi, rlo,
                                          z_gates=solver._gates(top),
-                                         cbs=self.cbs)[_ISL]
+                                         cbs=self.cbs,
+                                         lam_pair=self.lam_pair)[_ISL]
                 mx = lax.pmax(jnp.max(jnp.abs(ri)), AXIS)
                 rhs_buf = rhs_buf.at[_ISL].set(ri)
             finally:
@@ -311,11 +332,17 @@ class RefinedPoisson2D:
     chain).  Distributes under GSPMD y-slab placement unchanged — the
     step inherits the state's shardings."""
 
-    def __init__(self, solver, bc_values: Optional[List[float]] = None):
+    def __init__(self, solver, bc_values: Optional[List[float]] = None,
+                 lam: float = 0.0):
         from ..ops.df32 import df32_ok_2d
         from .dense2d import Dense2DMGSolver
         assert isinstance(solver, Dense2DMGSolver)
         self.solver = solver
+        self.lam = float(lam)
+        self.lam_pair = split_lam(lam)
+        if self.lam != 0.0 and solver.cfg.operator != "helmholtz":
+            raise ValueError("lam != 0 needs an operator='helmholtz' "
+                             "inner solver (got %r)" % solver.cfg.operator)
         top = solver.levels[-1]
         self.top = top
         cfg = solver._kcfgs[top]
@@ -344,7 +371,8 @@ class RefinedPoisson2D:
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def f(xhi, xlo, e32, rhi, rlo):
             xhi, xlo = accumulate_df32(xhi, xlo, e32)
-            ri = residual_df32_2d(cfg, xhi, xlo, rhi, rlo, cbs=self.cbs)
+            ri = residual_df32_2d(cfg, xhi, xlo, rhi, rlo, cbs=self.cbs,
+                                  lam_pair=self.lam_pair)
             return xhi, xlo, ri, jnp.max(jnp.abs(ri))
         return f
 
@@ -371,7 +399,8 @@ class RefinedPoisson2D:
                 break
             if rtol and float(mx) <= rtol * float(norms_dev[0]):
                 break
-            state, _ = solver.fas_fmg(state, need_res=False)
+            state, _ = solver.fas_fmg(state, lam=self.lam,
+                                      need_res=False)
             e32 = state["phi"][top]
         norms = [float(m) for m in norms_dev]
         return xhi, xlo, norms, state
@@ -380,16 +409,21 @@ class RefinedPoisson2D:
 def solve_refined(solver: DenseMGSolver, state, rhs_hi, rhs_lo,
                   n_outer: int = 8, rtol: float = 0.0,
                   nch: Optional[int] = None,
-                  bc_values: Optional[List[float]] = None):
+                  bc_values: Optional[List[float]] = None,
+                  lam: float = 0.0):
     """One-shot convenience wrapper: picks the sharded, 2D, or plain
-    refinement driver by solver type."""
+    refinement driver by solver type.  lam != 0 = f64-class Helmholtz
+    (operator='helmholtz' inner solver)."""
     from .dense2d import Dense2DMGSolver
     from .dense_shard import ShardedDenseMGSolver
     if isinstance(solver, ShardedDenseMGSolver):
-        return ShardedRefinedPoisson(solver, bc_values=bc_values).solve(
+        return ShardedRefinedPoisson(solver, bc_values=bc_values,
+                                     lam=lam).solve(
             state, rhs_hi, rhs_lo, n_outer=n_outer, rtol=rtol)
     if isinstance(solver, Dense2DMGSolver):
-        return RefinedPoisson2D(solver, bc_values=bc_values).solve(
+        return RefinedPoisson2D(solver, bc_values=bc_values,
+                                lam=lam).solve(
             state, rhs_hi, rhs_lo, n_outer=n_outer, rtol=rtol)
-    return RefinedPoisson(solver, nch=nch, bc_values=bc_values).solve(
+    return RefinedPoisson(solver, nch=nch, bc_values=bc_values,
+                          lam=lam).solve(
         state, rhs_hi, rhs_lo, n_outer=n_outer, rtol=rtol)

@@ -20,11 +20,11 @@ from octree_mg_tpu.solve.refine import solve_refined
 SIZE, BOX = 32, 8
 
 
-def mk_solver(periodic=False, bc=None):
+def mk_solver(periodic=False, bc=None, operator="laplacian"):
     dsz = np.full(3, SIZE)
     tree = build_rectangle(3, dsz, BOX, 1.0 / dsz, np.zeros(3),
                            periodic=[periodic] * 3)
-    sv = make_solver(tree, MGConfig(operator="laplacian",
+    sv = make_solver(tree, MGConfig(operator=operator,
                                     dtype=jnp.float32))
     assert isinstance(sv, DenseMGSolver)
     if bc:
@@ -52,7 +52,7 @@ def pair_fields(sv, seed=0):
     return xhi, xlo, pad(rhi_i), pad(rlo_i), x64, rhs64
 
 
-def f64_residual(sv, x64, rhs64):
+def f64_residual(sv, x64, rhs64, lam=0.0):
     """Reference: true float64 residual of the represented solution."""
     top = sv.levels[-1]
     cfg = sv._kcfgs[top]
@@ -68,8 +68,8 @@ def f64_residual(sv, x64, rhs64):
     p64 = jnp.zeros(pshape, jnp.float64).at[_ISL].set(jnp.asarray(xr))
     p64 = sv._sync_pads(p64, top)
     r64p = jnp.zeros(pshape, jnp.float64).at[_ISL].set(jnp.asarray(rr))
-    lam = jnp.zeros((1, 1, 1), jnp.float64)
-    r = dk.stencil_apply_dense(cfg64, p64, r64p, lam, [None] * 6,
+    lam_a = jnp.full((1, 1, 1), lam, jnp.float64)
+    r = dk.stencil_apply_dense(cfg64, p64, r64p, lam_a, [None] * 6,
                                residual=True)
     return np.asarray(r[_ISL], np.float64)
 
@@ -297,6 +297,94 @@ def test_df32_gate():
     sv2 = make_solver(tree, MGConfig(operator="laplacian",
                                      dtype=jnp.float32))
     assert not df32_ok(sv2._kcfgs[sv2.levels[-1]])
+
+
+def test_two_prod_jit_exact():
+    """two_prod (Veltkamp split, no fma) stays error-free under jit —
+    the compensated-arithmetic jit hazard class (cf. two_sum) checked
+    for the product path, with both traced x traced and traced x
+    constant operand patterns as the Helmholtz residual uses them."""
+    from octree_mg_tpu.ops.df32 import two_prod
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=4096).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=4096).astype(np.float32))
+    lam_h = float(np.float32(0.3))
+    for f in (lambda a, b: two_prod(a, b),
+              lambda a, b: two_prod(a, lam_h),
+              lambda a, b: two_prod(a, jnp.float32(1.0 / 3.0))):
+        p, e = jax.jit(f)(x, y)
+        got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+        # ground truth: the exact product in f64 (f32 x f32 is exact
+        # in f64 — 24+24 < 53 bits)
+        if f(x, y)[0].shape == p.shape:
+            pe, ee = f(x, y)
+            want = np.asarray(pe, np.float64) + np.asarray(ee, np.float64)
+            assert np.array_equal(got, want)
+    # direct exactness check against the f64 product
+    p, e = jax.jit(lambda a: two_prod(a, lam_h))(x)
+    want = np.asarray(x, np.float64) * np.float64(np.float32(lam_h))
+    got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    assert np.array_equal(got, want)
+    p, e = jax.jit(lambda a, b: two_prod(a, b))(x, y)
+    want = np.asarray(x, np.float64) * np.asarray(y, np.float64)
+    got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    assert np.array_equal(got, want)
+
+
+def test_residual_helmholtz_matches_f64():
+    """The +lam*x term (exact TwoProduct + compensation cross terms)
+    keeps the Helmholtz residual in the double-float accuracy class —
+    same regime as the laplacian test (x near the solution)."""
+    from octree_mg_tpu.ops.df32 import split_lam
+    lam = 0.37  # not a power of two: lam*x rounds without TwoProduct
+    sv = mk_solver(bc=BC_CASES["mixed"], operator="helmholtz")
+    top = sv.levels[-1]
+    cfg = sv._kcfgs[top]
+    assert df32_ok(cfg)
+    rng = np.random.default_rng(19)
+    x64 = rng.normal(size=(SIZE,) * 3)
+    ax = f64_residual(sv, x64, np.zeros((SIZE,) * 3), lam=lam)
+    rhs64 = -ax + 1e-6 * rng.normal(size=(SIZE,) * 3)
+
+    pshape = dk.padded_shape(sv.dims[top])
+
+    def pad(v):
+        return jnp.zeros(pshape, jnp.float32).at[_ISL].set(jnp.asarray(v))
+
+    xhi_i, xlo_i = split_f64(x64)
+    rhi_i, rlo_i = split_f64(rhs64)
+    xhi = sv._sync_pads(pad(xhi_i), top)
+    xlo = sv._sync_pads(pad(xlo_i), top)
+    lp = split_lam(lam)
+    r32 = np.asarray(jax.jit(
+        lambda *w: residual_df32(cfg, *w, lam_pair=lp))(
+        xhi, xlo, pad(rhi_i), pad(rlo_i))[_ISL])
+    r64 = f64_residual(sv, x64, rhs64, lam=lam)
+    scale = float(cfg.idr2[0]) * float(np.max(np.abs(x64)))
+    rmax = float(np.max(np.abs(r64)))
+    err = float(np.max(np.abs(r32 - r64)))
+    assert err <= 3e-7 * rmax + 1e-11 * scale, (err, rmax, scale)
+
+
+def test_solve_refined_helmholtz_f64_class():
+    """End-to-end f64-class Helmholtz refinement (VERDICT r3 task 2a):
+    outer residual contracts past the f32 floor with lam != 0."""
+    lam = 0.37
+    sv = mk_solver(bc=BC_CASES["dirichlet0"], operator="helmholtz")
+    st = sv.allocate()
+    rng = np.random.default_rng(23)
+    rhs64 = rng.normal(size=(SIZE,) * 3)
+    rhi, rlo = split_f64(rhs64)
+    xhi, xlo, norms, st = solve_refined(sv, st, rhi, rlo, n_outer=8,
+                                        nch=4, lam=lam)
+    assert norms[-1] <= 1e-10 * norms[0], norms
+    x64 = np.asarray(xhi, np.float64) + np.asarray(xlo, np.float64)
+    r64 = f64_residual(sv, x64, rhs64, lam=lam)
+    assert np.max(np.abs(r64)) <= 1e-8 * norms[0]
+    # a laplacian inner solver with lam != 0 is rejected
+    from octree_mg_tpu.solve.refine import RefinedPoisson
+    with pytest.raises(ValueError, match="helmholtz"):
+        RefinedPoisson(mk_solver(), lam=lam)
 
 
 # ---------------------------------------------------------------------------
