@@ -366,6 +366,74 @@ class DenseForestMGSolver(DenseMGSolver):
             lvl: _build_conflict_plan(self.segs[lvl], self.dims[lvl])
             for lvl in self.levels}
 
+    # ------------------------------------------------------------------
+    # multi-chip: GSPMD z-slab sharding (the 3D rendering of the 2D
+    # forest's overlay pattern, solve/dense_forest2d.py)
+    # ------------------------------------------------------------------
+    def shard_state(self, state, mesh, min_local: int = 8):
+        """Place the forest state on a 1D device mesh as z-slabs (GSPMD).
+
+        Sharded levels run a pure-XLA formulation of the smoother /
+        operator in which every neighbor read is a roll of the RAW
+        state canvas with ring-ghost values OVERLAID onto the rolled
+        arrays at the cells they serve (_dir_neighbors_gspmd) — never a
+        roll of a ghost-written canvas (GSPMD miscompiles rolls of
+        thin-strip scatter outputs at shard boundaries, measured jax
+        0.9.0 CPU; the 2D forest pattern).  The overlay formulation
+        also resolves concave-corner ghost conflicts by construction
+        (direction d's reads see d-axis ghosts), so the fix-up passes
+        are not needed; footprint-cell arithmetic is the same
+        expression tree as the single-device path
+        (tests/test_dense_forest.py::test_forest_gspmd_*).
+
+        The reference runs any octree under mpirun at any rank count
+        (m_load_balance.f90:71-136); this is that capability on a TPU
+        mesh, with coarse canvases replicated (agglomeration)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ax = mesh.axis_names[0]
+        K = int(np.prod(mesh.devices.shape))
+        repl = NamedSharding(mesh, PartitionSpec())
+        zsh = NamedSharding(mesh, PartitionSpec(ax, None, None))
+        self._gspmd_mesh = mesh
+        for cached in ("_jit_vcycle", "_jit_fmg"):
+            self.__dict__.pop(cached, None)
+        #: per-level decision, inspectable (mirrors dense2d.y_sharded)
+        self.z_sharded = {}
+        for lvl in self.levels:
+            Z = self.dims[lvl][2]
+            self.z_sharded[lvl] = (lvl != self.levels[0] and K > 1
+                                   and Z % K == 0
+                                   and (Z // K) % 2 == 0
+                                   and Z // K >= min_local)
+        out = {}
+        for key, per_lvl in state.items():
+            if key == "bc":
+                out[key] = {lvl: [jax.device_put(v, repl) for v in ps]
+                            for lvl, ps in per_lvl.items()}
+            else:
+                out[key] = {lvl: jax.device_put(
+                    arr, zsh if self.z_sharded[lvl] else repl)
+                    for lvl, arr in per_lvl.items()}
+        return out
+
+    def _pin_repl(self, x):
+        """Pin a small traced intermediate to replicated under GSPMD
+        (no-op single-device) — see Dense2DMGSolver._pin_repl for the
+        measured strip-chain miscompile this guards against."""
+        mesh = getattr(self, "_gspmd_mesh", None)
+        if mesh is None:
+            return x
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec()))
+
+    @property
+    def _gspmd(self) -> bool:
+        return getattr(self, "_gspmd_mesh", None) is not None
+
     def _kcfg(self, lvl: int) -> dk.DenseStencilConfig:
         """Every face is a precomputed ghost plane with identity
         coefficients: the plane carries the already-synthesized ghost
@@ -539,7 +607,11 @@ class DenseForestMGSolver(DenseMGSolver):
                     e_hi[-1, :])
                 tmp = tmp.at[:, 0].set(e_lo[:, 0]).at[:, -1].set(
                     e_lo[:, -1])
-            out[i] = interp_rb_strip(tmp[None], 3)[0]
+            # pinned replicated under GSPMD: the strip interleave
+            # miscompiles when a consumer's sharding back-propagates
+            # into it (Dense2DMGSolver._pin_repl, measured)
+            out[i] = self._pin_repl(
+                interp_rb_strip(self._pin_repl(tmp)[None], 3)[0])
         return out
 
     def _ring_values(self, canvas, bplanes_raw, bcache, lvl, key="phi"
@@ -741,6 +813,140 @@ class DenseForestMGSolver(DenseMGSolver):
             out = out.at[rsl].set(o)
         return out
 
+    # ------------------------------------------------------------------
+    # GSPMD overlay formulation (sharded execution; see shard_state)
+    # ------------------------------------------------------------------
+    def _dir_neighbors_gspmd(self, lvl, canvas, vals, masks, bpw,
+                             eps_field=False):
+        """Per-dim (lo, hi) neighbor arrays: rolls of the RAW padded
+        canvas with inline face-plane synthesis (identity coefficients
+        via dk._neighbor_ops masks) and each direction's ring-ghost
+        values OVERLAID at the cells they serve — the 3D rendering of
+        DenseForest2DMGSolver._dir_neighbors.  Direction d's reads see
+        d-axis ghosts by construction (per-box ghost storage semantics,
+        m_ghost_cells.f90:232-285), so no conflict fix-ups are needed."""
+        cfg = self._kcfgs[lvl]
+        out = []
+        for d, axis in ((0, 2), (1, 1), (2, 0)):
+            if eps_field:
+                lo, hi = dk._eps_neighbor_ops(cfg, canvas, d, axis,
+                                              masks, True, bpw)
+            else:
+                lo, hi = dk._neighbor_ops(cfg, canvas, d, axis, masks,
+                                          bpw, True)
+            for i, seg in enumerate(self.segs[lvl]):
+                if seg.sink != "ring" or seg.nb // 2 != d:
+                    continue
+                step = 1 if seg.nb % 2 == 0 else -1
+                lo_r, hi_r = seg.lo.copy(), seg.hi.copy()
+                lo_r[d] += step
+                hi_r[d] += step
+                sl = self._cansl(lo_r, hi_r)
+                if seg.nb % 2 == 0:
+                    lo = lo.at[sl].set(vals[i])
+                else:
+                    hi = hi.at[sl].set(vals[i])
+            out.append((lo, hi))
+        return out
+
+    def _phi_nbrs_gspmd(self, state, lvl, canvas, bcache, masks):
+        """(nbrs, vals) for phi from the raw canvas (one half-sweep's
+        worth — recomputed per half-sweep, the reference's refill
+        cadence)."""
+        raw = state["bc"][lvl]
+        vals = {i: self._pin_repl(v) for i, v in
+                self._ring_values(canvas, raw, bcache, lvl).items()}
+        planes = [self._pin_repl(p) for p in
+                  self._face_planes(canvas, raw, bcache, lvl)]
+        bpw = dk._bpw_full(self._kcfgs[lvl], planes)
+        return self._dir_neighbors_gspmd(lvl, canvas, vals, masks, bpw)
+
+    def _eps_nbrs_gspmd(self, state, lvl, masks):
+        """Per coefficient field: (raw canvas, per-dim neighbor pairs)
+        — frozen across a phase, computed once (the eps ghosts ride the
+        same ring/face synthesis as phi with Neumann-zero physical
+        faces)."""
+        cfg = self._kcfgs[lvl]
+        raw = state["bc"][lvl]
+        out = []
+        for i in range(self.n_eps):
+            key = f"eps{i}"
+            bcache = self._rb_cache(state, lvl, key)
+            ec = state[key][lvl]
+            evals = {j: self._pin_repl(v) for j, v in
+                     self._ring_values(ec, raw, bcache, lvl, key).items()}
+            epl = [self._pin_repl(p) for p in
+                   self._face_planes(ec, raw, bcache, lvl, key)]
+            ebpw = dk._bpw_eps_full([epl])[0]
+            out.append((ec, self._dir_neighbors_gspmd(
+                lvl, ec, evals, masks, ebpw, eps_field=True)))
+        return out
+
+    def _smooth_gspmd(self, state, lvl, n_cycle, lam):
+        """GSRB half-sweeps in the overlay formulation — same per-cell
+        expression tree as dense_kernels._halfsweep (+ the conflict
+        fix-ups the overlays subsume), so footprint cells match the
+        single-device path."""
+        cfg = self._kcfgs[lvl]
+        g = dk._full_iotas(cfg)
+        masks = dk._face_masks(cfg, g)
+        bcache = self._rb_cache(state, lvl, "phi")
+        canvas = state["phi"][lvl]
+        rhs = state["rhs"][lvl]
+        easm = self._eps_nbrs_gspmd(state, lvl, masks)
+        for n in range(2 * n_cycle):
+            nbrs = self._phi_nbrs_gspmd(state, lvl, canvas, bcache,
+                                        masks)
+            upd = dk._parity_mask(g, n % 2)
+            if cfg.n_eps:
+                num = -rhs
+                den = lam
+                for d in range(3):
+                    e0, enb = easm[0 if cfg.n_eps == 1 else d]
+                    elo, ehi = enb[d]
+                    plo, phi_ = nbrs[d]
+                    c = 2.0 * e0 * elo / (e0 + elo) * cfg.idr2[d]
+                    num = num + c * plo
+                    den = den + c
+                    c = 2.0 * e0 * ehi / (e0 + ehi) * cfg.idr2[d]
+                    num = num + c * phi_
+                    den = den + c
+                new = num / den
+            else:
+                acc = -rhs
+                for d in range(3):
+                    lo, hi = nbrs[d]
+                    acc = acc + cfg.idr2[d] * (lo + hi)
+                new = acc * (1.0 / (cfg.den0 + lam))
+            canvas = jnp.where(upd, new, canvas)
+        return self._set(state, "phi", lvl, canvas)
+
+    def _apply_gspmd(self, state, lvl, lam, residual):
+        """A(phi) / rhs - A(phi) in the overlay formulation (same
+        expression tree as dense_kernels._apply_expr)."""
+        cfg = self._kcfgs[lvl]
+        g = dk._full_iotas(cfg)
+        masks = dk._face_masks(cfg, g)
+        bcache = self._rb_cache(state, lvl, "phi")
+        canvas = state["phi"][lvl]
+        nbrs = self._phi_nbrs_gspmd(state, lvl, canvas, bcache, masks)
+        out = -lam * canvas
+        if cfg.n_eps:
+            easm = self._eps_nbrs_gspmd(state, lvl, masks)
+            for d in range(3):
+                e0, enb = easm[0 if cfg.n_eps == 1 else d]
+                elo, ehi = enb[d]
+                plo, phi_ = nbrs[d]
+                c = 2.0 * e0 * elo / (e0 + elo) * cfg.idr2[d]
+                out = out + c * (plo - canvas)
+                c = 2.0 * e0 * ehi / (e0 + ehi) * cfg.idr2[d]
+                out = out + c * (phi_ - canvas)
+        else:
+            for d in range(3):
+                lo, hi = nbrs[d]
+                out = out + cfg.idr2[d] * (lo + hi - 2.0 * canvas)
+        return state["rhs"][lvl] - out if residual else out
+
     def _face_planes(self, canvas, bplanes_raw, bcache, lvl, key="phi"):
         """Assemble the six ghost planes consumed by the kernels with
         (1,0,0) coefficients.  Uncovered positions stay zero (they abut
@@ -857,6 +1063,8 @@ class DenseForestMGSolver(DenseMGSolver):
         and face-plane refreshes between half-sweeps (smooth_boxes,
         m_multigrid.f90:404-424; red parity 0 first, as the dense
         path)."""
+        if self._gspmd:
+            return self._smooth_gspmd(state, lvl, n_cycle, lam)
         cfg = self._kcfgs[lvl]
         bcache = self._rb_cache(state, lvl, "phi")
         raw = state["bc"][lvl]
@@ -879,6 +1087,9 @@ class DenseForestMGSolver(DenseMGSolver):
         return self._set(state, "phi", lvl, canvas)
 
     def _residual(self, state, lvl, lam):
+        if self._gspmd:
+            return self._set(state, "ires", lvl,
+                             self._apply_gspmd(state, lvl, lam, True))
         cfg = self._kcfgs[lvl]
         canvas, planes, vals = self._assemble(state, lvl, "phi")
         easm = self._eps_assemble(state, lvl)
@@ -892,6 +1103,8 @@ class DenseForestMGSolver(DenseMGSolver):
         return self._set(state, "ires", lvl, ires)
 
     def _apply_op(self, state, lvl, lam):
+        if self._gspmd:
+            return self._apply_gspmd(state, lvl, lam, False)
         cfg = self._kcfgs[lvl]
         canvas, planes, vals = self._assemble(state, lvl, "phi")
         easm = self._eps_assemble(state, lvl)
@@ -939,7 +1152,8 @@ class DenseForestMGSolver(DenseMGSolver):
         fine = state[key][lvl]
         cfg = self._kcfgs[lvl]
         half = tuple(v // 2 for v in cfg.dims)
-        if cfg.use_kernel and dk.transfer_tiles(half) is not None:
+        if (cfg.use_kernel and not self._gspmd
+                and dk.transfer_tiles(half) is not None):
             avg = dk.restrict_dense(cfg, fine)[_ISL]
         else:
             win = (2, 2, 2)
@@ -1005,6 +1219,53 @@ class DenseForestMGSolver(DenseMGSolver):
         vals = self._prolong_rect(sub)
         phi = state["phi"][lvl].at[_ISL].add(vals)
         return self._set(state, "phi", lvl, phi)
+
+    def _prolong_rect(self, sub):
+        """D-linear prolongation; under GSPMD the z interleave uses a
+        strided scatter like y/x (the parent's stack+reshape on the
+        leading axis is the measured GSPMD interleave-miscompile
+        family; strided scatters partition correctly — the dense2d
+        prolongation ships them sharded at 1e-12)."""
+        if not self._gspmd:
+            return super()._prolong_rect(sub)
+        w0 = 0.25
+        ctr = sub[1:-1, 1:-1, 1:-1]
+
+        def shifted(d, s):
+            sl = [slice(1, -1)] * 3
+            ax = 2 - d
+            sl[ax] = slice(1 + s, sub.shape[ax] - 1 + s)
+            return sub[tuple(sl)]
+
+        f0 = w0 * ctr
+        lo = [0.25 * shifted(d, -1) for d in range(3)]
+        hi = [0.25 * shifted(d, +1) for d in range(3)]
+        vals = {0: f0}
+        for d in range(3):
+            new = {}
+            for key, a in vals.items():
+                new[key] = a + lo[d]
+                new[key | (1 << d)] = a + hi[d]
+            vals = new
+
+        def interleave(a, b, d):
+            ax = 2 - d
+            shape = list(a.shape)
+            shape[ax] *= 2
+            out = jnp.zeros(shape, a.dtype)
+            losl = [slice(None)] * 3
+            hisl = [slice(None)] * 3
+            losl[ax] = slice(0, None, 2)
+            hisl[ax] = slice(1, None, 2)
+            return out.at[tuple(losl)].set(a).at[tuple(hisl)].set(b)
+
+        def build(d_hi, bits):
+            if d_hi < 0:
+                return vals[bits]
+            return interleave(build(d_hi - 1, bits),
+                              build(d_hi - 1, bits | (1 << d_hi)), d_hi)
+
+        return build(2, 0)
 
     # -- subtract mean (fully periodic forests) -------------------------
     def _subtract_mean(self, state, key):

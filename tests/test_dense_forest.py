@@ -266,3 +266,88 @@ def test_forest_convergence():
     err = np.max(np.abs((np.asarray(sd.interior(st, top, "phi"))
                          - solution(x)) * m))
     assert err < 5e-2, f"solution error {err}"
+
+
+# ---------------------------------------------------------------------------
+# multi-chip: GSPMD z-slab sharding of the forest canvases
+# ---------------------------------------------------------------------------
+
+def _gspmd_tree():
+    """L-shaped forest big enough for >=2 z-sharded levels on the
+    8-device mesh (lvl 1: z=32, lvl 2: z=64)."""
+    t = build_rectangle(3, [32] * 3, 4, [1 / 32.] * 3, [0] * 3)
+    _refine(t, 1, lambda ix: ix[0] <= 4 or ix[1] <= 4)
+    tm.finalize_amr(t, 2)
+    return t
+
+
+def _gspmd_run(operator, shard, mesh, seed=31):
+    sd = make_solver(_gspmd_tree(), MGConfig(operator=operator))
+    assert isinstance(sd, DenseForestMGSolver)
+    sd.set_bc(0, BCType.DIRICHLET, 0.25)
+    st = sd.allocate()
+    rng = np.random.default_rng(seed)
+    for lvl in sd.levels:
+        X, Y, Z = sd.dims[lvl]
+        st = sd.set_interior(st, lvl, "rhs",
+                             jnp.asarray(rng.normal(size=(Z, Y, X))))
+        if sd.n_eps:
+            for i in range(sd.n_eps):
+                st = sd.set_interior(
+                    st, lvl, f"eps{i}",
+                    jnp.asarray(0.5 + rng.random((Z, Y, X))))
+    if shard:
+        st = sd.shard_state(st, mesh, min_local=4)
+        assert sum(sd.z_sharded[l] for l in sd.levels) >= 2, sd.z_sharded
+    st, res = sd.fas_fmg(st, lam=0.6 if "helmholtz" in operator else 0.0)
+    st, res_v = sd.fas_vcycle(st,
+                              lam=0.6 if "helmholtz" in operator else 0.0)
+    top = sd.levels[-1]
+    phi = np.asarray(sd.interior(st, top, "phi")) * _mask(sd, top)
+    return phi, float(res_v)
+
+
+@pytest.mark.parametrize("operator", ["laplacian", "vhelmholtz"])
+def test_forest_gspmd_sharded_matches_single(operator):
+    """The z-slab GSPMD placement (overlay formulation: rolls of the
+    raw canvas + ring-ghost overlays) distributes the arbitrary-forest
+    solver over the 8-device mesh with the same results as
+    single-device — the reference's any-tree-any-rank-count capability
+    (m_load_balance.f90:71-136).  FMG + V-cycle, >=2 sharded levels."""
+    import jax
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:8]), ("z",))
+    a, res_a = _gspmd_run(operator, False, mesh)
+    b, res_b = _gspmd_run(operator, True, mesh)
+    scale = max(float(np.max(np.abs(a))), 1e-30)
+    assert np.max(np.abs(a - b)) <= 1e-12 * scale, (
+        f"GSPMD forest diff {np.max(np.abs(a - b)):.3e} vs {scale:.3e}")
+    assert abs(res_a - res_b) <= 1e-10 * max(1.0, res_a)
+
+
+def test_forest_gspmd_overlay_matches_ringwrite_single_device():
+    """The overlay formulation itself (forced via _gspmd_mesh on a
+    1-device mesh semantics: no sharded levels, replicated placement)
+    must reproduce the ring-written path at footprint cells — pinning
+    that the two formulations are the same arithmetic before sharding
+    enters."""
+    import jax
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:1]), ("z",))
+    a, _ = _gspmd_run("laplacian", False, mesh)
+    sd = make_solver(_gspmd_tree(), MGConfig(operator="laplacian"))
+    sd.set_bc(0, BCType.DIRICHLET, 0.25)
+    st = sd.allocate()
+    rng = np.random.default_rng(31)
+    for lvl in sd.levels:
+        X, Y, Z = sd.dims[lvl]
+        st = sd.set_interior(st, lvl, "rhs",
+                             jnp.asarray(rng.normal(size=(Z, Y, X))))
+    st = sd.shard_state(st, mesh, min_local=4)   # K=1: all replicated
+    assert not any(sd.z_sharded[l] for l in sd.levels)
+    st, _ = sd.fas_fmg(st)
+    st, _ = sd.fas_vcycle(st)
+    top = sd.levels[-1]
+    b = np.asarray(sd.interior(st, top, "phi")) * _mask(sd, top)
+    scale = max(float(np.max(np.abs(a))), 1e-30)
+    assert np.max(np.abs(a - b)) <= 1e-12 * scale
