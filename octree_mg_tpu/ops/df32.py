@@ -311,6 +311,70 @@ def residual_df32_dense(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi,
 
 
 # ---------------------------------------------------------------------------
+# double-float refinement-boundary ghost synthesis (forest/AMR trees)
+# ---------------------------------------------------------------------------
+
+def interp_rb_strip_df(th, tl, ndim: int):
+    """Double-float rendering of ops.ghost.interp_rb_strip: coarse
+    strip pair (th, tl) -> interpolated plane pair next to the fine
+    points (box_gc_for_fine_neighbor, m_ghost_cells.f90:557-576).
+
+    All weights are 0.125/1.0 (exact powers of two), and every sum
+    rides a TwoSum with the error folded into the lo channel, so the
+    returned pair represents the exact interpolation of the exact
+    strip values up to the ~2^-48 double-float class."""
+    def pair_add(ah, al, bh, bl):
+        s, e = two_sum(ah, bh)
+        return s, al + bl + e
+
+    def pair_sub(ah, al, bh, bl):
+        s, e = two_sum(ah, -bh)
+        return s, al - bl + e
+
+    if ndim == 2:
+        mh, ml = th[:, 1:-1], tl[:, 1:-1]
+        dh, de = two_sum(th[:, 2:], -th[:, :-2])
+        gh = 0.125 * dh
+        gl = 0.125 * (tl[:, 2:] - tl[:, :-2] + de)
+        lo_h, lo_l = pair_sub(mh, ml, gh, gl)
+        hi_h, hi_l = pair_add(mh, ml, gh, gl)
+
+        def ilv(a, b):
+            return jnp.stack([a, b], axis=-1).reshape(a.shape[0], -1)
+
+        return ilv(lo_h, hi_h), ilv(lo_l, hi_l)
+    # 3D: tmp [m, t_hi, t_lo]
+    mh, ml = th[:, 1:-1, 1:-1], tl[:, 1:-1, 1:-1]
+    dh, de = two_sum(th[:, 1:-1, 2:], -th[:, 1:-1, :-2])
+    glo_h = 0.125 * dh
+    glo_l = 0.125 * (tl[:, 1:-1, 2:] - tl[:, 1:-1, :-2] + de)
+    dh, de = two_sum(th[:, 2:, 1:-1], -th[:, :-2, 1:-1])
+    ghi_h = 0.125 * dh
+    ghi_l = 0.125 * (tl[:, 2:, 1:-1] - tl[:, :-2, 1:-1] + de)
+    m = th.shape[0]
+
+    def combo(slo, shi):
+        h, l = (pair_sub, pair_add)[slo](mh, ml, glo_h, glo_l)
+        return (pair_sub, pair_add)[shi](h, l, ghi_h, ghi_l)
+
+    c00 = combo(0, 0)
+    c10 = combo(1, 0)
+    c01 = combo(0, 1)
+    c11 = combo(1, 1)
+
+    def assemble(i):
+        def ilv_last(a, b):
+            return jnp.stack([a, b], axis=-1).reshape(
+                *a.shape[:-1], 2 * a.shape[-1])
+        row_lo = ilv_last(c00[i], c10[i])
+        row_hi = ilv_last(c01[i], c11[i])
+        return jnp.stack([row_lo, row_hi], axis=2).reshape(
+            m, 2 * mh.shape[1], 2 * mh.shape[2])
+
+    return assemble(0), assemble(1)
+
+
+# ---------------------------------------------------------------------------
 # 2D (the dense [Y, X] path — pure XLA, no pads: rolls wrap exactly)
 # ---------------------------------------------------------------------------
 

@@ -411,11 +411,20 @@ def solve_refined(solver: DenseMGSolver, state, rhs_hi, rhs_lo,
                   nch: Optional[int] = None,
                   bc_values: Optional[List[float]] = None,
                   lam: float = 0.0):
-    """One-shot convenience wrapper: picks the sharded, 2D, or plain
-    refinement driver by solver type.  lam != 0 = f64-class Helmholtz
-    (operator='helmholtz' inner solver)."""
+    """One-shot convenience wrapper: picks the forest/AMR, sharded,
+    2D, or plain refinement driver by solver type.  lam != 0 =
+    f64-class Helmholtz (operator='helmholtz' inner solver).  For
+    forest/AMR solvers rhs_hi/rhs_lo are {lvl: interior array} dicts
+    and the returned solution is {lvl: (x_hi, x_lo)}
+    (solve/refine_forest.py)."""
     from .dense2d import Dense2DMGSolver
+    from .dense_forest import DenseForestMGSolver
     from .dense_shard import ShardedDenseMGSolver
+    if isinstance(solver, DenseForestMGSolver):
+        from .refine_forest import RefinedForestPoisson
+        return RefinedForestPoisson(solver, bc_values=bc_values,
+                                    lam=lam).solve(
+            state, rhs_hi, rhs_lo, n_outer=n_outer, rtol=rtol)
     if isinstance(solver, ShardedDenseMGSolver):
         return ShardedRefinedPoisson(solver, bc_values=bc_values,
                                      lam=lam).solve(

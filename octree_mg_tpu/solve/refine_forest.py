@@ -1,0 +1,404 @@
+"""f64-class iterative refinement on AMR / arbitrary-forest trees.
+
+The uniform-grid driver (solve/refine.py) recovers the reference's f64
+accuracy class (m_data_structures.f90:8) around the f32 dense solver.
+This module extends it to the multi-level dense solvers: the outer
+residual is evaluated in double-float over EVERY level of the composite
+AMR discretization, including the refinement-boundary ghost synthesis
+(the part the uniform driver never needed):
+
+    x = 0 (double-float pair per level)
+    repeat:
+      x_coarse(image) = restrict(x_fine)      df-exact 8-cell average
+      r_l = rhs_l - A_l(x)                    df-exact per level, with
+                                              rb ghosts interpolated
+                                              from the COARSE x pair
+      solve A e = r (forest FAS FMG, f32)     the fast inner path
+      x_l += e_l                              df accumulation
+
+Exactness: every ghost coefficient in the reference's scheme is a sum
+of powers of two — bc_to_gc's (2,-1,0)/(±dr,1,0)/(0,2,-1)
+(m_ghost_cells.f90:682-698), sides_rb's 0.5/0.75/-0.25 (:769-861,
+0.75 = 0.5 + 0.25), the strip interpolation's ±0.125 (:557-576), and
+full weighting's 1/8 — so the whole composite residual rides error-free
+transformations (TwoSum chains, exact power-of-two products; Helmholtz
+λ·x via Dekker TwoProduct).  The fixed point satisfies the reference's
+converged state: leaf residuals -> 0 with non-leaf coarse cells equal
+to the restriction of the fine solution (update_coarse,
+m_multigrid.f90:369-383).
+
+Works on any tree a DenseForestMGSolver accepts — rectangular 3-level
+AMR trees included (build the forest solver directly on the tree; the
+forest path is bitwise the boxed path per phase).  Gating: f32
+constant-coefficient laplacian/helmholtz, power-of-two 1/dx², exact BC
+coefficient classes, constant homogeneous boundary values on the inner
+solver (true values via ``bc_values``), not fully-periodic.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.df32 import (_OK_C, _is_pow2, accumulate_df32, fast_two_sum,
+                        interp_rb_strip_df, split_f64, split_lam,
+                        two_prod, two_sum)
+from .dense import _ISL
+from .dense_forest import DenseForestMGSolver
+
+
+class RefinedForestPoisson:
+    """Iterative refinement over a :class:`DenseForestMGSolver`.
+
+    ``solve`` takes per-level interior rhs pairs and returns per-level
+    interior (x_hi, x_lo) pairs (leaf cells meaningful), the leaf
+    residual-max history, and the inner state.
+    """
+
+    def __init__(self, solver: DenseForestMGSolver,
+                 bc_values: Optional[List[float]] = None,
+                 lam: float = 0.0):
+        assert isinstance(solver, DenseForestMGSolver), solver
+        self.s = solver
+        if solver.cfg.dtype != jnp.float32:
+            raise ValueError("refines an f32 inner solver; got %s"
+                             % solver.cfg.dtype)
+        if solver.n_eps:
+            raise ValueError("constant-coefficient operators only")
+        if solver.subtract_mean:
+            raise ValueError("fully-periodic (subtract-mean) trees are "
+                             "outside the refined gate")
+        self.lam = float(lam)
+        self.lam_pair = split_lam(lam)
+        if self.lam != 0.0 and solver.cfg.operator != "helmholtz":
+            raise ValueError("lam != 0 needs operator='helmholtz'")
+        #: per-level (c0*b)_hi/lo pairs for the physical faces; the
+        #: inner solver must be HOMOGENEOUS (the refinement lesson:
+        #: nonzero inner b re-adds the boundary offset every outer)
+        self.cbs: Dict[int, List] = {}
+        for lvl in solver.levels:
+            cfg = solver._kcfgs[lvl]
+            if len(set(cfg.idr2)) != 1 or not _is_pow2(cfg.idr2[0]):
+                raise ValueError("1/dx^2 must be an equal power of two "
+                                 "per level (lvl %d: %r)"
+                                 % (lvl, cfg.idr2))
+            bc = solver._bc_static(lvl)
+            row = []
+            for nb in range(6):
+                if bc[nb] is None:
+                    row.append((0.0, 0.0))
+                    continue
+                c0, c1, c2 = bc[nb]
+                if c1 not in _OK_C or c2 not in _OK_C:
+                    raise ValueError("BC coefficient class outside the "
+                                     "exact set (face %d)" % nb)
+                spec = solver.bc_spec[nb]
+                if spec["fn"] is not None:
+                    raise ValueError("constant boundary values only")
+                if float(spec["value"]) != 0.0:
+                    raise ValueError(
+                        "inner solver must be homogeneous (b=0); pass "
+                        "true values via bc_values= (face %d)" % nb)
+                bv = 0.0 if bc_values is None else float(bc_values[nb])
+                hi, lo = split_f64(np.float64(c0) * np.float64(bv))
+                row.append((float(hi), float(lo)))
+            self.cbs[lvl] = row
+        #: leaf masks [Z, Y, X] (footprint minus the finer image)
+        self.leaf_mask = {}
+        for lvl in solver.levels:
+            m = solver.footprint_mask(lvl).copy()
+            if lvl + 1 in solver.levels:
+                for clo, chi in solver._image_rects(lvl + 1):
+                    m[int(clo[2]):int(chi[2]), int(clo[1]):int(chi[1]),
+                      int(clo[0]):int(chi[0])] = False
+            self.leaf_mask[lvl] = jnp.asarray(m)
+        self.n_leaf_cells = int(sum(np.asarray(m).sum()
+                                    for m in self.leaf_mask.values()))
+
+    # ------------------------------------------------------------------
+    # double-float ghost synthesis per segment
+    # ------------------------------------------------------------------
+    def _ghost_df(self, lvl, seg, xh, xl, bdf, i):
+        """(g_hi, g_lo) pair for one ghost segment, expanded to its 3D
+        rect shape.  Same coefficient arithmetic as the f32 path
+        (_ring_values / _face_planes) but with every sum a TwoSum and
+        every product an exact power-of-two multiply; synthesis errors
+        fold into the lo channel (~2^-48 class)."""
+        sv = self.s
+        d = seg.nb // 2
+        ax = 2 - d
+        if seg.kind == "wrap":
+            lo = seg.lo.copy()
+            hi = seg.hi.copy()
+            lo[d] = seg.src
+            hi[d] = seg.src + 1
+            sl = sv._cansl(lo, hi)
+            return xh[sl], xl[sl]
+        x1h, x2h = sv._seg_x12(xh, seg)
+        x1l, x2l = sv._seg_x12(xl, seg)
+        if seg.kind == "rb":
+            bh, bl = bdf[i]
+            # 0.5*b + 0.75*x1 - 0.25*x2 with 0.75 = 0.5 + 0.25
+            g, e1 = two_sum(0.5 * bh, 0.5 * x1h)
+            g, e2 = two_sum(g, 0.25 * x1h)
+            g, e3 = two_sum(g, -(0.25 * x2h))
+            gl = (0.5 * bl + (0.5 * x1l + 0.25 * x1l) - 0.25 * x2l) \
+                + ((e1 + e2) + e3)
+        else:  # phys: c0*b + c1*x1 + c2*x2, b constant (pre-split)
+            c0, c1, c2 = sv._bc_static(lvl)[seg.nb]
+            cbh, cbl = self.cbs[lvl][seg.nb]
+            g, ge = two_sum(c1 * x1h, cbh)  # traced first (two_sum)
+            gl = c1 * x1l + cbl
+            if c2 != 0.0:
+                g, e2 = two_sum(g, c2 * x2h)
+                ge = ge + e2
+                gl = gl + c2 * x2l
+            gl = gl + ge
+        return jnp.expand_dims(g, ax), jnp.expand_dims(gl, ax)
+
+    def _ext_df(self, X, lvl, memo, prefer=None):
+        """[Z+2, Y+2, X+2] double-float canvas with ALL ghosts
+        materialized (the df rendering of DenseForestMGSolver._ext);
+        ``prefer``: axis whose ring segments write last at conflicted
+        concave-corner cells."""
+        key = ("ext", lvl, prefer)
+        if key in memo:
+            return memo[key]
+        sv = self.s
+        xh, xl = X[lvl]
+        X_, Y_, Z_ = sv.dims[lvl]
+        dt = jnp.float32
+        bdf = self._bdf(X, lvl, memo)
+        eh = jnp.zeros((Z_ + 2, Y_ + 2, X_ + 2), dt)
+        el = jnp.zeros((Z_ + 2, Y_ + 2, X_ + 2), dt)
+        eh = eh.at[(slice(1, -1),) * 3].set(xh[_ISL])
+        el = el.at[(slice(1, -1),) * 3].set(xl[_ISL])
+        items = list(enumerate(sv.segs[lvl]))
+        if prefer is not None:
+            items.sort(key=lambda t: (t[1].sink == "ring"
+                                      and t[1].nb // 2 == prefer))
+        for i, seg in items:
+            gh, gl = self._ghost_df(lvl, seg, xh, xl, bdf, i)
+            sl = tuple(slice(1 + int(seg.lo[dd]), 1 + int(seg.hi[dd]))
+                       for dd in (2, 1, 0))
+            eh = eh.at[sl].set(gh)
+            el = el.at[sl].set(gl)
+        memo[key] = (eh, el)
+        return memo[key]
+
+    def _bdf(self, X, lvl, memo):
+        """{seg index: (b_hi, b_lo)} coarse-interp planes for the rb
+        segments of lvl (df rendering of _rb_cache, with the same
+        per-axis strip-end patching at conflicted coarse levels)."""
+        key = ("bdf", lvl)
+        if key in memo:
+            return memo[key]
+        sv = self.s
+        segs_rb = [s for s in sv.segs[lvl] if s.kind == "rb"]
+        if not segs_rb:
+            memo[key] = {}
+            return memo[key]
+        need = sv.conflicts.get(lvl - 1) is not None
+        if need:
+            ext_ax = {a: self._ext_df(X, lvl - 1, memo, prefer=a)
+                      for a in range(3)}
+            exth, extl = ext_ax[0]
+        else:
+            exth, extl = self._ext_df(X, lvl - 1, memo)
+        off_c = sv.offsets[lvl - 1]
+        off_f = sv.offsets[lvl]
+        out = {}
+        for i, seg in enumerate(sv.segs[lvl]):
+            if seg.kind != "rb":
+                continue
+            d = seg.nb // 2
+            sl: List = [0, 0, 0]
+            sl[2 - d] = seg.cg - int(off_c[d]) + 1
+            for dd in range(3):
+                if dd == d:
+                    continue
+                c0 = (int(off_f[dd]) + int(seg.lo[dd])) // 2 \
+                    - int(off_c[dd])
+                c1 = (int(off_f[dd]) + int(seg.hi[dd])) // 2 \
+                    - int(off_c[dd])
+                sl[2 - dd] = slice(c0, c1 + 2)
+            th, tl = exth[tuple(sl)], extl[tuple(sl)]
+            if need:
+                t_lo, t_hi = [dd for dd in range(3) if dd != d]
+                hh, hl = ext_ax[t_hi]
+                lh, ll = ext_ax[t_lo]
+                th = th.at[0, :].set(hh[tuple(sl)][0, :]).at[-1, :].set(
+                    hh[tuple(sl)][-1, :])
+                tl = tl.at[0, :].set(hl[tuple(sl)][0, :]).at[-1, :].set(
+                    hl[tuple(sl)][-1, :])
+                th = th.at[:, 0].set(lh[tuple(sl)][:, 0]).at[:, -1].set(
+                    lh[tuple(sl)][:, -1])
+                tl = tl.at[:, 0].set(ll[tuple(sl)][:, 0]).at[:, -1].set(
+                    ll[tuple(sl)][:, -1])
+            out[i] = interp_rb_strip_df(th[None], tl[None], 3)
+            out[i] = (out[i][0][0], out[i][1][0])
+        memo[key] = out
+        return memo[key]
+
+    # ------------------------------------------------------------------
+    # double-float residual per level
+    # ------------------------------------------------------------------
+    def _residual_df(self, X, RHSh, RHSl, lvl, memo):
+        """r_hi ~= rhs - A(x) on the padded canvas, df-exact at
+        footprint cells.  Neighbor reads are rolls of the RAW pair
+        canvases with the per-segment df ghosts overlaid at the cells
+        they serve (the overlay formulation: direction-correct at
+        concave corners by construction)."""
+        sv = self.s
+        cfg = sv._kcfgs[lvl]
+        idr2 = cfg.idr2[0]
+        xh, xl = X[lvl]
+        bdf = self._bdf(X, lvl, memo)
+        ghosts = {i: self._ghost_df(lvl, seg, xh, xl, bdf, i)
+                  for i, seg in enumerate(sv.segs[lvl])}
+        s = RHSh[lvl]
+        comp = jnp.zeros_like(xh)
+        alo = jnp.zeros_like(xh)
+        for d, axis in ((0, 2), (1, 1), (2, 0)):
+            vlo_h = jnp.roll(xh, +1, axis=axis)
+            vhi_h = jnp.roll(xh, -1, axis=axis)
+            vlo_l = jnp.roll(xl, +1, axis=axis)
+            vhi_l = jnp.roll(xl, -1, axis=axis)
+            for i, seg in enumerate(sv.segs[lvl]):
+                if seg.nb // 2 != d:
+                    continue
+                step = 1 if seg.nb % 2 == 0 else -1
+                lo_r, hi_r = seg.lo.copy(), seg.hi.copy()
+                lo_r[d] += step
+                hi_r[d] += step
+                sl = sv._cansl(lo_r, hi_r)
+                gh, gl = ghosts[i]
+                if seg.nb % 2 == 0:
+                    vlo_h = vlo_h.at[sl].set(gh)
+                    vlo_l = vlo_l.at[sl].set(gl)
+                else:
+                    vhi_h = vhi_h.at[sl].set(gh)
+                    vhi_l = vhi_l.at[sl].set(gl)
+            sd, ed = two_sum(vlo_h, vhi_h)
+            s, e = two_sum(s, -(idr2 * sd))
+            comp = comp + (e - idr2 * ed)
+            alo = alo + idr2 * (vlo_l + vhi_l)
+        s, e = two_sum(s, (4.0 * idr2) * xh)
+        comp = comp + e
+        s, e = two_sum(s, (2.0 * idr2) * xh)
+        comp = comp + e
+        comp = comp + RHSl[lvl] - (alo - (6.0 * idr2) * xl)
+        if self.lam_pair is not None:
+            lam_h, lam_l = self.lam_pair
+            p, pe = two_prod(xh, lam_h)  # traced first
+            s, e = two_sum(s, p)
+            comp = comp + (e + pe) + (lam_h * xl + lam_l * xh)
+        r_hi, _ = two_sum(s, comp)
+        return r_hi
+
+    # ------------------------------------------------------------------
+    # double-float restriction (exact 8-cell average)
+    # ------------------------------------------------------------------
+    def _restrict_pair(self, h, l):
+        """[Z, Y, X] pair -> [Z/2, Y/2, X/2] pair: full-weighting mean
+        of 8 with the pair sums as TwoSums (errors fold into lo) and
+        the 1/8 scale exact.  Pair reductions use roll+select so the
+        hot adds fuse; the even-index extraction is strided slicing
+        (correctness-first — see docs/PERF.md if this ever dominates a
+        profile)."""
+        for axis in (0, 1, 2):
+            hs, e = two_sum(h, jnp.roll(h, -1, axis=axis))
+            l = l + jnp.roll(l, -1, axis=axis) + e
+            sl = [slice(None)] * 3
+            sl[axis] = slice(0, None, 2)
+            h = hs[tuple(sl)]
+            l = l[tuple(sl)]
+        return fast_two_sum(0.125 * h, 0.125 * l)
+
+    def _restrict_into_df(self, X, lvl):
+        """Write restrict(x_fine) into the coarse image rectangles —
+        the composite discretization's non-leaf coarse values
+        (update_coarse, m_multigrid.f90:369-383)."""
+        sv = self.s
+        fh, fl = X[lvl]
+        ah, al = self._restrict_pair(fh[_ISL], fl[_ISL])
+        ch, cl = X[lvl - 1]
+        for (lo, hi), (clo, chi) in zip(sv.geom[lvl].rects,
+                                        sv._image_rects(lvl)):
+            win = (slice(int(lo[2]) // 2, int(hi[2]) // 2),
+                   slice(int(lo[1]) // 2, int(hi[1]) // 2),
+                   slice(int(lo[0]) // 2, int(hi[0]) // 2))
+            sl = sv._cansl(clo, chi)
+            ch = ch.at[sl].set(ah[win])
+            cl = cl.at[sl].set(al[win])
+        X[lvl - 1] = (ch, cl)
+        return X
+
+    # ------------------------------------------------------------------
+    # the fused outer step
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _jit_step(self):
+        sv = self.s
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def f(X, E, RHSh, RHSl):
+            X = dict(X)
+            for lvl in sv.levels:
+                xh, xl = X[lvl]
+                X[lvl] = accumulate_df32(xh, xl, E[lvl])
+            for lvl in reversed(sv.levels[1:]):
+                X = self._restrict_into_df(X, lvl)
+            memo = {}
+            R = {}
+            norm = jnp.zeros((), jnp.float32)
+            for lvl in sv.levels:
+                r = self._residual_df(X, RHSh, RHSl, lvl, memo)
+                R[lvl] = r
+                norm = jnp.maximum(norm, jnp.max(jnp.where(
+                    self.leaf_mask[lvl], jnp.abs(r[_ISL]), 0.0)))
+            return X, R, norm
+
+        return f
+
+    def solve(self, state, rhs_hi: Dict, rhs_lo: Dict, n_outer: int = 8,
+              rtol: float = 0.0):
+        """rhs_hi/rhs_lo: {lvl: interior [Z, Y, X] f32} pairs
+        (``ops.df32.split_f64`` converts float64 fields; leaf cells are
+        what matters).  Returns ({lvl: (x_hi, x_lo) interior}, leaf
+        residual-max history, inner state)."""
+        sv = self.s
+        X = {}
+        RHSh, RHSl = {}, {}
+        for lvl in sv.levels:
+            shape = sv._pshape(sv.dims[lvl])
+            # distinct buffers: the step donates X, so no aliasing
+            X[lvl] = (jnp.zeros(shape, jnp.float32),
+                      jnp.zeros(shape, jnp.float32))
+            RHSh[lvl] = jnp.zeros(shape, jnp.float32).at[_ISL].set(
+                jnp.asarray(rhs_hi[lvl], jnp.float32))
+            RHSl[lvl] = jnp.zeros(shape, jnp.float32).at[_ISL].set(
+                jnp.asarray(rhs_lo[lvl], jnp.float32))
+        E = {lvl: jnp.zeros(sv._pshape(sv.dims[lvl]), jnp.float32)
+             for lvl in sv.levels}
+        norms_dev: List = []
+        state = dict(state)
+        state["rhs"] = dict(state["rhs"])
+        for i in range(n_outer + 1):
+            X, R, mx = self._jit_step(X, E, RHSh, RHSl)
+            norms_dev.append(mx)
+            if i == n_outer:
+                break
+            if rtol and float(mx) <= rtol * float(norms_dev[0]):
+                break
+            for lvl in sv.levels:
+                state["rhs"][lvl] = R[lvl]
+            state, _ = sv.fas_fmg(state, lam=self.lam, need_res=False)
+            E = {lvl: state["phi"][lvl] for lvl in sv.levels}
+        norms = [float(m) for m in norms_dev]
+        out = {lvl: (X[lvl][0][_ISL], X[lvl][1][_ISL])
+               for lvl in sv.levels}
+        return out, norms, state
