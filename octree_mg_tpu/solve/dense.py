@@ -87,6 +87,10 @@ def make_solver(tree: Tree, config: Optional[MGConfig] = None):
                                  dense_forest2d_supported)
     if dense_forest2d_supported(tree, cfg):
         return DenseForest2DMGSolver(tree, cfg)
+    from .dense_multiforest import (DenseMultiForestMGSolver,
+                                    dense_multiforest_supported)
+    if dense_multiforest_supported(tree, cfg):
+        return DenseMultiForestMGSolver(tree, cfg)
     return MGSolver(tree, cfg)
 
 
@@ -181,17 +185,25 @@ class DenseMGSolver:
                        "_jit_fmg_sharded", "_jit_vcycle_sharded"):
             self.__dict__.pop(cached, None)
 
+    @staticmethod
+    def _lvl_of(u) -> int:
+        """Real tree level of a unit key (int here; the multi-canvas
+        forest subclass uses (lvl, c) tuples for component canvases) —
+        for per-LEVEL tree-attribute lookups (dr, box_size)."""
+        return u if isinstance(u, int) else u[0]
+
     def _bc_static(self, lvl: int):
         """Per-direction (c0,c1,c2) or None on periodic axes."""
         out = []
         t = self.tree
+        dr = t.dr[self._lvl_of(lvl)]
         for nbd in range(2 * self.ndim):
             d = nbd // 2
             if self.periodic[d]:
                 out.append(None)
                 continue
             spec = self.bc_spec[nbd]
-            out.append(bc_coeffs(spec["type"], float(t.dr[lvl][d]), nbd))
+            out.append(bc_coeffs(spec["type"], float(dr[d]), nbd))
         return out
 
     def _kcfg(self, lvl: int) -> dk.DenseStencilConfig:
@@ -854,9 +866,14 @@ class DenseMGSolver:
             return self._coarse_direct(state, lam)
         return self._coarse_smooth(state, lam)
 
+    def _unit0(self, lvl):
+        """State key of a level's (single) canvas — the multi-canvas
+        forest subclass maps it to the level's first component unit."""
+        return lvl
+
     def _coarse_direct(self, state, lam):
         """phi = A^{-1}(rhs - A(0)) via the precomputed eigenbasis."""
-        lvl = self.levels[0]
+        lvl = self._unit0(self.levels[0])
         dd = self._direct
         isl = self._isl
         zero = self._set(state, "phi", lvl,
@@ -929,12 +946,18 @@ class DenseMGSolver:
             state = self._subtract_mean(state, "phi")
         return state, res
 
+    def _zero_phi(self, state, lvl):
+        return self._set(state, "phi", lvl,
+                         jnp.zeros_like(state["phi"][lvl]))
+
+    def _save_iold(self, state, lvl):
+        return self._set(state, "iold", lvl, state["phi"][lvl])
+
     def _fmg(self, state, lam, have_guess, need_res):
         min_lvl, top = self.levels[0], self.levels[-1]
         if not have_guess:
             for lvl in self.levels:
-                state = self._set(state, "phi", lvl,
-                                  jnp.zeros_like(state["phi"][lvl]))
+                state = self._zero_phi(state, lvl)
         for lvl in range(top, min_lvl, -1):
             state = self._update_coarse(state, lvl, lam)
         if self.subtract_mean:
@@ -942,7 +965,7 @@ class DenseMGSolver:
 
         res = jnp.asarray(0.0, self.cfg.dtype)
         for lvl in range(min_lvl, top + 1):
-            state = self._set(state, "iold", lvl, state["phi"][lvl])
+            state = self._save_iold(state, lvl)
             if lvl > min_lvl:
                 state = self._correct_children(state, lvl - 1, lam)
             last = lvl == top

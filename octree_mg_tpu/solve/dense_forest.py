@@ -128,10 +128,11 @@ def _greedy_rects_3d(occ: np.ndarray) -> List[Tuple[np.ndarray, np.ndarray]]:
 class _LevelGeom:
     """Canvas geometry of one refinement level."""
 
-    def __init__(self, tree: Tree, lvl: int):
+    def __init__(self, tree: Tree, lvl: int, ids=None):
         self.lvl = lvl
         self.nc = nc = tree.box_size_lvl[lvl]
-        ids = tree.lvls[lvl].ids
+        ids = tree.lvls[lvl].ids if ids is None else np.asarray(ids)
+        self.ids = ids
         ix = tree.ix[ids] - 1                     # [n, 3] 0-based box coords
         self.box_lo = ix.min(axis=0)              # canvas origin, box units
         box_hi = ix.max(axis=0) + 1
@@ -434,13 +435,20 @@ class DenseForestMGSolver(DenseMGSolver):
     def _gspmd(self) -> bool:
         return getattr(self, "_gspmd_mesh", None) is not None
 
+    def _coarse_of(self, u):
+        """Coarse unit under a fine unit: lvl - 1 here; the multi-canvas
+        subclass maps a component to the coarse component containing
+        its image (solve/dense_multiforest.py)."""
+        return u - 1
+
+
     def _kcfg(self, lvl: int) -> dk.DenseStencilConfig:
         """Every face is a precomputed ghost plane with identity
         coefficients: the plane carries the already-synthesized ghost
         values (phys/rb/wrap per 2D segment), refreshed between
         half-sweeps by the driver."""
         t = self.tree
-        idr2 = tuple(float(x) for x in 1.0 / t.dr[lvl] ** 2)
+        idr2 = tuple(float(x) for x in 1.0 / t.dr[self._lvl_of(lvl)] ** 2)
         return dk.DenseStencilConfig(
             dims=self.dims[lvl], idr2=idr2,
             bc=[(1.0, 0.0, 0.0)] * 6,
@@ -462,7 +470,7 @@ class DenseForestMGSolver(DenseMGSolver):
         (non-footprint cells get coordinates too — harmless)."""
         t = self.tree
         X, Y, Z = self.dims[lvl]
-        dr = t.dr[lvl]
+        dr = t.dr[self._lvl_of(lvl)]
         off = self.offsets[lvl]
         out = np.zeros((Z, Y, X, 3))
         for d, sl in ((0, (None, None, slice(None))),
@@ -500,7 +508,7 @@ class DenseForestMGSolver(DenseMGSolver):
         traced plane assembly."""
         t = self.tree
         X, Y, Z = self.dims[lvl]
-        dr = t.dr[lvl]
+        dr = t.dr[self._lvl_of(lvl)]
         r0g = t.r_min
         off = self.offsets[lvl]
         dt = self.cfg.dtype
@@ -570,19 +578,20 @@ class DenseForestMGSolver(DenseMGSolver):
         segs = [s for s in self.segs[lvl] if s.kind == "rb"]
         if not segs:
             return {}
-        bc_c = self._rb_cache(state, lvl - 1, key)
+        uc = self._coarse_of(lvl)
+        bc_c = self._rb_cache(state, uc, key)
         # ±1 transverse strip reads are per-axis ghost reads of the
         # coarse neighbor box (m_ghost_cells.f90:557-576); at conflicted
         # ring cells only the axis-preferenced ext carries the right
         # value for that read direction
-        need = self.conflicts.get(lvl - 1) is not None
+        need = self.conflicts.get(uc) is not None
         if need:
-            ext_ax = {a: self._ext(state, lvl - 1, key, bcache=bc_c,
+            ext_ax = {a: self._ext(state, uc, key, bcache=bc_c,
                                    prefer=a) for a in range(3)}
             ext = ext_ax[0]
         else:
-            ext = self._ext(state, lvl - 1, key, bcache=bc_c)
-        off_c = self.offsets[lvl - 1]
+            ext = self._ext(state, uc, key, bcache=bc_c)
+        off_c = self.offsets[uc]
         off_f = self.offsets[lvl]
         out = {}
         for i, seg in enumerate(self.segs[lvl]):
@@ -1137,7 +1146,7 @@ class DenseForestMGSolver(DenseMGSolver):
         """Fine footprint rectangles mapped into the coarse canvas
         (canvas-local coarse cells)."""
         off_f = self.offsets[lvl]
-        off_c = self.offsets[lvl - 1]
+        off_c = self.offsets[self._coarse_of(lvl)]
         out = []
         for lo, hi in self.geom[lvl].rects:
             clo = (off_f + lo) // 2 - off_c
@@ -1160,14 +1169,15 @@ class DenseForestMGSolver(DenseMGSolver):
             avg = jax.lax.reduce_window(
                 fine[_ISL], jnp.zeros((), fine.dtype), jax.lax.add,
                 win, win, "VALID") / 8.0
-        coarse = state[key][lvl - 1]
+        uc = self._coarse_of(lvl)
+        coarse = state[key][uc]
         for (lo, hi), (clo, chi) in zip(self.geom[lvl].rects,
                                         self._image_rects(lvl)):
             win = (slice(int(lo[2]) // 2, int(hi[2]) // 2),
                    slice(int(lo[1]) // 2, int(hi[1]) // 2),
                    slice(int(lo[0]) // 2, int(hi[0]) // 2))
             coarse = coarse.at[self._cansl(clo, chi)].set(avg[win])
-        return self._set(state, key, lvl - 1, coarse)
+        return self._set(state, key, uc, coarse)
 
     def _finish_coarse_rhs(self, state, lvl, lam):
         """rhs_c = A(phi_c) + restrict(res) on the image rectangles only
@@ -1187,7 +1197,10 @@ class DenseForestMGSolver(DenseMGSolver):
         coarse image + one ghost ring (correct_children,
         m_multigrid.f90:387-402; ring = ghost(phi) - ghost(iold), both
         from the full ghost machinery)."""
-        lvl = lvl_c + 1
+        return self._correct_unit(state, lvl_c, lvl_c + 1, lam)
+
+    def _correct_unit(self, state, lvl_c, lvl, lam):
+        """One (coarse unit, fine unit) correction pair."""
         off_f = self.offsets[lvl]
         off_c = self.offsets[lvl_c]
         lo = (off_f // 2) - off_c           # image lo, coarse local
@@ -1301,7 +1314,7 @@ class DenseForestMGSolver(DenseMGSolver):
         Variable-coefficient operators pass ``state`` so the probe sees
         the restricted coarse-level eps values (the matrix depends on
         them — the base class's _build_direct_probe contract)."""
-        lvl = self.levels[0]
+        lvl = self._unit0(self.levels[0])
         ishape = self._ishape(lvl)
         m = int(np.prod(ishape))
         dt = self.cfg.dtype

@@ -1,0 +1,315 @@
+"""Multi-canvas dense-forest multigrid: SPARSE forests on the fast path.
+
+The single-canvas forest solver (solve/dense_forest.py) stores each
+refinement level as one dense array over the bounding box of its leaf
+footprint and gates on footprint fill >= min_fill — a scattered-patch
+refinement (the typical astrophysics AMR shape: a few disjoint blobs in
+a big domain) fills <10% of its bounding box and used to fall back to
+the boxed solver at ~2.3e7 leaf-unknowns/s, below the Fortran baseline
+class.  The reference's ghost machinery is footprint-agnostic
+(m_ghost_cells.f90:769-861) — this solver closes that gap:
+
+* Each level's box set is decomposed host-side into CONNECTED
+  COMPONENTS (face adjacency, the tree's neighbor table); every
+  component becomes its own dense canvas with its own ghost-segment
+  plan — exactly the single-canvas machinery per component ("unit").
+  Disjoint components have no same-level ghosts between them by
+  construction (adjacent boxes share a component), so every missing
+  neighbor is a refinement-boundary / physical face, as before.
+* The per-unit phases reuse DenseForestMGSolver's methods verbatim —
+  they index geometry/state by dict key ("units", always (lvl, c)
+  tuples: jax pytree flattening sorts dict keys, so key types must not
+  mix), and the ``_coarse_of`` hook maps each fine component to the
+  coarse component containing its image (unique: parents of a
+  connected box set are connected).  The ``_unit0`` hook points the
+  direct coarse solve at the coarsest level's single canvas.
+
+Gating (``dense_multiforest_supported``): the single-canvas gate minus
+the whole-level fill requirement, plus per-COMPONENT fill >= min_fill
+(a blob's own bounding box is dense even when the level's is not), no
+fully-periodic trees (subtract-mean would need cross-component
+plumbing), and no periodic wrap whose same-level source lies in another
+component (the segment builder would misclassify it as a refinement
+face).  Bitwise per phase vs the boxed solver
+(tests/test_dense_multiforest.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import NO_BOX
+from ..core.tree import Tree
+from .dense_forest import (DenseForestMGSolver, _build_conflict_plan,
+                           _forest_balanced, _LevelGeom)
+from .multigrid import MGConfig
+
+
+def _components(tree: Tree, lvl: int) -> List[np.ndarray]:
+    """Connected components of a level's boxes under face adjacency
+    (tree.neighbors), each as a sorted id array."""
+    ids = [int(b) for b in tree.lvls[lvl].ids]
+    idset = set(ids)
+    seen = set()
+    out = []
+    for b in ids:
+        if b in seen:
+            continue
+        comp = []
+        stack = [b]
+        seen.add(b)
+        while stack:
+            cur = stack.pop()
+            comp.append(cur)
+            for nb in range(2 * tree.ndim):
+                q = int(tree.neighbors[cur, nb])
+                if q > NO_BOX and q in idset and q not in seen:
+                    seen.add(q)
+                    stack.append(q)
+        out.append(np.array(sorted(comp), np.int64))
+    out.sort(key=lambda c: int(c[0]))
+    return out
+
+
+def _wrap_crosses_components(tree: Tree, comps: List[np.ndarray],
+                             lvl: int) -> bool:
+    """Whether any periodic same-level neighbor pair spans two
+    components (the per-component segment builder would misclassify the
+    wrap as a refinement face)."""
+    if not any(tree.periodic):
+        return False
+    comp_of = {}
+    for c, ids in enumerate(comps):
+        for b in ids:
+            comp_of[int(b)] = c
+    for c, ids in enumerate(comps):
+        for b in ids:
+            for nb in range(2 * tree.ndim):
+                q = int(tree.neighbors[int(b), nb])
+                if q > NO_BOX and comp_of.get(q, c) != c:
+                    return True
+    return False
+
+
+def dense_multiforest_supported(tree: Tree, cfg: MGConfig,
+                                min_fill: float = 0.2) -> bool:
+    """Whether the multi-canvas forest path covers this configuration
+    (intended for trees the single-canvas fill gate rejects)."""
+    if not (tree.ndim == 3
+            and tree.highest_lvl > 1
+            and cfg.operator in ("laplacian", "helmholtz", "vlaplacian",
+                                 "vhelmholtz", "ahelmholtz")
+            and cfg.geometry == "cartesian"
+            and cfg.smoother in ("gsrb", "gs")):
+        return False
+    if tree.subtract_mean:
+        return False
+    if not _forest_balanced(tree):
+        return False
+    for lvl in range(tree.lowest_lvl, tree.highest_lvl + 1):
+        if len(tree.lvls[lvl].ids) == 0:
+            return False
+        comps = _components(tree, lvl)
+        if _wrap_crosses_components(tree, comps, lvl):
+            return False
+        for ids in comps:
+            g = _LevelGeom(tree, lvl, ids)
+            if g.n_cells < min_fill * int(np.prod(g.dims)):
+                return False
+    return True
+
+
+class DenseMultiForestMGSolver(DenseForestMGSolver):
+    """FAS multigrid on per-component dense canvases.
+
+    State keys: ``(lvl, c)`` component tuples — ``units_of(lvl)``
+    lists them.  All per-unit machinery (ghost segments, smoother,
+    transfers, exports) is the parent's, reused verbatim through the
+    unit-keyed dicts and the ``_coarse_of`` component map.
+    """
+
+    _supported = staticmethod(dense_multiforest_supported)
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+    def _build_levels(self):
+        t = self.tree
+        all_lvls = list(range(t.lowest_lvl, t.highest_lvl + 1))
+        comps = {lvl: _components(t, lvl) for lvl in all_lvls}
+        self.units: Dict[int, List] = {}
+        self.geom = {}
+        for lvl in all_lvls:
+            us = []
+            for c, ids in enumerate(comps[lvl]):
+                # ALWAYS (lvl, c) tuples: jax pytree flattening sorts
+                # dict keys, and int/tuple mixes are not comparable
+                u = (lvl, c)
+                self.geom[u] = _LevelGeom(t, lvl, ids)
+                us.append(u)
+            self.units[lvl] = us
+        self.dims = {u: self.geom[u].dims for us in self.units.values()
+                     for u in us}
+        self.offsets = {u: self.geom[u].off for us in self.units.values()
+                        for u in us}
+        #: fine unit -> coarse unit (the component containing its image)
+        self._coarse_unit: Dict = {}
+        comp_of = {lvl: {} for lvl in all_lvls}
+        for lvl in all_lvls:
+            for u in self.units[lvl]:
+                for b in self.geom[u].ids:
+                    comp_of[lvl][int(b)] = u
+        for lvl in all_lvls[1:]:
+            for u in self.units[lvl]:
+                parents = {comp_of[lvl - 1][int(t.parent[int(b)])]
+                           for b in self.geom[u].ids}
+                assert len(parents) == 1, (
+                    "fine component spans coarse components", u, parents)
+                self._coarse_unit[u] = parents.pop()
+        if self.coarse_solver == "direct":
+            direct = None
+            for lvl in all_lvls:
+                u = self.units[lvl][0]
+                if (len(self.units[lvl]) == 1 and self.geom[u].full
+                        and int(np.prod(self.dims[u]))
+                        <= self.DIRECT_MAX_CELLS):
+                    direct = lvl
+            if direct is None:
+                direct = all_lvls[0]
+            self.levels = [l for l in all_lvls if l >= direct]
+        else:
+            self.levels = all_lvls
+        per = tuple(bool(p) for p in t.periodic)
+        self.segs = {u: self.geom[u].build_segments(per)
+                     for lvl in self.levels for u in self.units[lvl]}
+        self.conflicts = {
+            u: _build_conflict_plan(self.segs[u], self.dims[u])
+            for lvl in self.levels for u in self.units[lvl]}
+
+    def units_of(self, lvl: int) -> List:
+        """State keys of a level's component canvases."""
+        return self.units[lvl]
+
+    @functools.cached_property
+    def _kcfgs(self):
+        return {u: self._kcfg(u)
+                for lvl in self.levels for u in self.units[lvl]}
+
+    def _coarse_of(self, u):
+        if u in self._coarse_unit:
+            return self._coarse_unit[u]
+        lvl = self._lvl_of(u)
+        assert len(self.units[lvl - 1]) == 1, (u, "no coarse mapping")
+        return self.units[lvl - 1][0]
+
+    def _unit0(self, lvl):
+        return self.units[lvl][0]
+
+    # ------------------------------------------------------------------
+    # state
+    # ------------------------------------------------------------------
+    def allocate(self) -> Dict:
+        dt = self.cfg.dtype
+        state: Dict = {k: {} for k in self._field_keys}
+        state["bc"] = {}
+        for lvl in self.levels:
+            for u in self.units[lvl]:
+                shape = self._pshape(self.dims[u])
+                for k in ("phi", "rhs", "iold", "ires"):
+                    state[k][u] = jnp.zeros(shape, dt)
+                for k in self._eps_keys:
+                    state[k][u] = jnp.ones(shape, dt)
+                state["bc"][u] = self._eval_bc_planes(u)
+        return state
+
+    # ------------------------------------------------------------------
+    # per-level phases = loops over the parent's per-unit phases
+    # ------------------------------------------------------------------
+    def _zero_phi(self, state, lvl):
+        for u in self.units[lvl]:
+            state = self._set(state, "phi", u,
+                              jnp.zeros_like(state["phi"][u]))
+        return state
+
+    def _save_iold(self, state, lvl):
+        for u in self.units[lvl]:
+            state = self._set(state, "iold", u, state["phi"][u])
+        return state
+
+    # NB: each loop delegates to the parent per-unit body; a tuple
+    # argument means the call already IS per-unit (the parent's methods
+    # cross-call through self, e.g. _max_residual -> _residual)
+
+    def _smooth(self, state, lvl, n_cycle, lam):
+        if isinstance(lvl, tuple):
+            return super()._smooth(state, lvl, n_cycle, lam)
+        for u in self.units[lvl]:
+            state = super()._smooth(state, u, n_cycle, lam)
+        return state
+
+    def _residual(self, state, lvl, lam):
+        if isinstance(lvl, tuple):
+            return super()._residual(state, lvl, lam)
+        for u in self.units[lvl]:
+            state = super()._residual(state, u, lam)
+        return state
+
+    def _max_residual(self, state, lvl, lam):
+        if isinstance(lvl, tuple):
+            return super()._max_residual(state, lvl, lam)
+        m = jnp.asarray(0.0, self.cfg.dtype)
+        for u in self.units[lvl]:
+            state, r = super()._max_residual(state, u, lam)
+            m = jnp.maximum(m, r)
+        return state, m
+
+    def _restrict_into(self, state, lvl, key):
+        if isinstance(lvl, tuple):
+            return super()._restrict_into(state, lvl, key)
+        for u in self.units[lvl]:
+            state = super()._restrict_into(state, u, key)
+        return state
+
+    def _finish_coarse_rhs(self, state, lvl, lam):
+        """rhs_c = A(phi_c) + restrict(res) on the union of the fine
+        components' image rectangles in each coarse unit; iold_c =
+        phi_c (parents, m_multigrid.f90:369-383)."""
+        by_coarse: Dict = {}
+        for u in self.units[lvl]:
+            by_coarse.setdefault(self._coarse_of(u), []).append(u)
+        for uc, fines in by_coarse.items():
+            a_phi = self._apply_op(state, uc, lam)
+            rhs_c = state["rhs"][uc]
+            for u in fines:
+                for clo, chi in self._image_rects(u):
+                    sl = self._cansl(clo, chi)
+                    rhs_c = rhs_c.at[sl].set(
+                        a_phi[sl] + state["ires"][uc][sl])
+            state = self._set(state, "rhs", uc, rhs_c)
+            state = self._set(state, "iold", uc, state["phi"][uc])
+        return state
+
+    def _correct_children(self, state, lvl_c, lam):
+        for u in self.units[lvl_c + 1]:
+            state = self._correct_unit(state, self._coarse_of(u), u, lam)
+        return state
+
+    def _subtract_mean(self, state, key):
+        raise NotImplementedError(
+            "fully-periodic trees are outside the multi-canvas gate")
+
+    def apply_operator(self, state, lam=0.0, out_key: str = "ires"):
+        lam = self._lam(lam)
+        for lvl in self.levels:
+            for u in self.units[lvl]:
+                state = self._set(state, out_key, u,
+                                  self._apply_op(state, u, lam))
+        return state
+
+    def shard_state(self, state, mesh, min_local: int = 8):
+        raise NotImplementedError(
+            "multi-canvas forests are single-device; sparse multi-chip "
+            "placement falls back to the boxed GSPMD path")

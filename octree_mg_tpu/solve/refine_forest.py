@@ -302,20 +302,34 @@ class RefinedForestPoisson:
     # ------------------------------------------------------------------
     # double-float restriction (exact 8-cell average)
     # ------------------------------------------------------------------
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _even_selector(n: int):
+        """0/1 matrix [n/2, n] selecting even indices — a matmul by it
+        is EXACT (one nonzero per row, no sums) and runs on the MXU.
+        Lane/sublane stride-2 slicing measures ~0.2 GB/s on this chip
+        (docs/PERF.md); the selector form is the same trick as the
+        dense2d restriction matmuls."""
+        S = np.zeros((n // 2, n), np.float32)
+        S[np.arange(n // 2), 2 * np.arange(n // 2)] = 1.0
+        return S  # numpy: converted per trace (jnp would leak tracers)
+
     def _restrict_pair(self, h, l):
         """[Z, Y, X] pair -> [Z/2, Y/2, X/2] pair: full-weighting mean
         of 8 with the pair sums as TwoSums (errors fold into lo) and
-        the 1/8 scale exact.  Pair reductions use roll+select so the
-        hot adds fuse; the even-index extraction is strided slicing
-        (correctness-first — see docs/PERF.md if this ever dominates a
-        profile)."""
+        the 1/8 scale exact.  Pair sums ride roll+TwoSum (fused
+        elementwise); even-index extraction along the tiled y/x axes
+        rides exact selector matmuls (z, untiled, slices cheaply)."""
         for axis in (0, 1, 2):
             hs, e = two_sum(h, jnp.roll(h, -1, axis=axis))
-            l = l + jnp.roll(l, -1, axis=axis) + e
-            sl = [slice(None)] * 3
-            sl[axis] = slice(0, None, 2)
-            h = hs[tuple(sl)]
-            l = l[tuple(sl)]
+            ls = l + jnp.roll(l, -1, axis=axis) + e
+            if axis == 0:
+                h, l = hs[::2], ls[::2]
+            else:
+                S = self._even_selector(hs.shape[axis])
+                sub = "cy,zyx->zcx" if axis == 1 else "cx,zyx->zyc"
+                h = jnp.einsum(sub, S, hs, precision="highest")
+                l = jnp.einsum(sub, S, ls, precision="highest")
         return fast_two_sum(0.125 * h, 0.125 * l)
 
     def _restrict_into_df(self, X, lvl):
