@@ -19,6 +19,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.abspath(__file__))), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,19 +59,22 @@ def leaf_unknowns(t, box):
                for l in range(1, t.highest_lvl + 1)) * box ** 3
 
 
-def run(tag, tree):
+def run(tag, tree, cadence="half"):
     n_unk = leaf_unknowns(tree, BOX)
     sv = DenseForestMGSolver(tree, MGConfig(operator="laplacian",
                                             dtype=jnp.float32,
                                             donate=True))
     sv.set_bc(0, BCType.DIRICHLET, 0.0)
-    ref = RefinedForestPoisson(sv)
+    ref = RefinedForestPoisson(sv, inner_ghost_refresh=cadence)
     rng = np.random.default_rng(0)
     rh, rl = {}, {}
     for lvl in sv.levels:
         X, Y, Z = sv.dims[lvl]
         h, l = split_f64(rng.normal(size=(Z, Y, X)))
-        rh[lvl], rl[lvl] = h, l
+        # pre-transfer: timing the tunnel's ~25 MB/s host->device copy
+        # instead of compute was this probe's first-version artifact
+        rh[lvl] = jax.device_put(jnp.asarray(h, jnp.float32))
+        rl[lvl] = jax.device_put(jnp.asarray(l, jnp.float32))
     # warm (compiles step + FMG)
     _, norms, _ = ref.solve(sv.allocate(), rh, rl, n_outer=2)
     t0 = time.perf_counter()
@@ -87,6 +91,8 @@ def run(tag, tree):
 
 def main():
     run("L-forest 2-lvl", l_forest(BASE, BOX))
+    run("L-forest 2-lvl [pair cadence]", l_forest(BASE, BOX),
+        cadence="pair")
     run("AMR centered 3-lvl",
         build_amr_centered(3, 3, np.full(3, BASE), BOX,
                            np.full(3, 1.0 / BASE)))

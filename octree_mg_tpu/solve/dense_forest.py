@@ -1074,6 +1074,8 @@ class DenseForestMGSolver(DenseMGSolver):
         path)."""
         if self._gspmd:
             return self._smooth_gspmd(state, lvl, n_cycle, lam)
+        if getattr(self, "ghost_refresh", "half") == "pair":
+            return self._smooth_pairs(state, lvl, n_cycle, lam)
         cfg = self._kcfgs[lvl]
         bcache = self._rb_cache(state, lvl, "phi")
         raw = state["bc"][lvl]
@@ -1093,6 +1095,34 @@ class DenseForestMGSolver(DenseMGSolver):
             if plan:
                 canvas = self._fix_sweep(lvl, canvas, ringed, vals,
                                          planes, rhs, lam, n % 2, easm)
+        return self._set(state, "phi", lvl, canvas)
+
+    def _smooth_pairs(self, state, lvl, n_cycle, lam):
+        """Relaxed-cadence smoother: ring/face ghosts refresh once per
+        red+black PAIR instead of per half-sweep, so each pair runs as
+        ONE fused Mosaic kernel pass (pair_sweep_dense) on eligible
+        canvases.  NOT bitwise vs the boxed path — the black half sees
+        ghosts one half-sweep stale at patch boundaries — but a valid
+        smoother (MG contraction degrades marginally; measured in
+        probe_refine_forest_perf).  Enabled via ``ghost_refresh =
+        "pair"``; the refined driver uses it for the INNER solve, where
+        the outer double-float residual defines correctness and the
+        inner FMG is a preconditioner."""
+        cfg = self._kcfgs[lvl]
+        bcache = self._rb_cache(state, lvl, "phi")
+        raw = state["bc"][lvl]
+        canvas = state["phi"][lvl]
+        rhs = state["rhs"][lvl]
+        easm = self._eps_assemble(state, lvl)
+        eps = tuple(a[0] for a in easm)
+        epl = [a[1] for a in easm] if easm else None
+        for n in range(n_cycle):
+            vals = self._ring_values(canvas, raw, bcache, lvl)
+            ringed = self._write_ring(canvas, vals, lvl)
+            planes = self._face_planes(ringed, raw, bcache, lvl)
+            canvas = dk.pair_sweep_dense(cfg, ringed, rhs, lam, planes,
+                                         red_parity=0, n_pairs=1,
+                                         eps=eps, eps_planes=epl)
         return self._set(state, "phi", lvl, canvas)
 
     def _residual(self, state, lvl, lam):

@@ -31,7 +31,9 @@ between half-sweeps — the reference's per-substep refill cadence
 (smooth_boxes, m_multigrid.f90:404-424) — so every phase is
 bit-identical to the boxed solver (tests/test_dense_forest2d.py).
 Periodic exteriors are supported.  Gating
-(``dense_forest2d_supported``): 2D cartesian laplacian/helmholtz, GSRB,
+(``dense_forest2d_supported``): 2D cartesian operators (all five
+families) or the cylindrical (r, z) laplacian (box_clpl radial face
+weights at the canvas column offset, m_laplacian.f90:197-271), GSRB,
 2:1-balanced forest, footprint filling >= min_fill of each canvas.
 """
 from __future__ import annotations
@@ -191,11 +193,14 @@ def _has_ring_conflicts(segs: List[_Seg]) -> bool:
 def dense_forest2d_supported(tree: Tree, cfg: MGConfig,
                              min_fill: float = 0.2) -> bool:
     """Whether the 2D dense-forest path covers this configuration."""
+    ok_op = (cfg.operator in ("laplacian", "helmholtz", "vlaplacian",
+                              "vhelmholtz", "ahelmholtz")
+             and cfg.geometry == "cartesian") \
+        or (cfg.operator == "laplacian"
+            and cfg.geometry == "cylindrical")
     if not (tree.ndim == 2
             and tree.highest_lvl > 1
-            and cfg.operator in ("laplacian", "helmholtz", "vlaplacian",
-                                 "vhelmholtz", "ahelmholtz")
-            and cfg.geometry == "cartesian"
+            and ok_op
             and cfg.smoother in ("gsrb", "gs")):
         return False
     if not _forest_balanced(tree):
@@ -254,10 +259,30 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         values (phys/rb/wrap per segment), refreshed per half-sweep."""
         t = self.tree
         idr2 = tuple(float(x) for x in 1.0 / t.dr[lvl] ** 2)
+        cyl_w = None
+        if self.cfg.geometry == "cylindrical":
+            cyl_w = self._cyl_weights(lvl)
         return d2.Dense2DConfig(
             dims=self.dims[lvl], idr2=idr2, bc=[(1.0, 0.0, 0.0)] * 4,
             periodic=(False, False), dtype=self.cfg.dtype,
-            b_const=[None] * 4, n_eps=self.n_eps)
+            b_const=[None] * 4, n_eps=self.n_eps, cyl_w=cyl_w)
+
+    def _cyl_weights(self, lvl: int):
+        """Radial face weights on the CANVAS columns: global radii at
+        canvas offset off_x (box_clpl, m_laplacian.f90:209-212; the
+        dense2d uniform weights shifted by the canvas origin)."""
+        t = self.tree
+        X = self.dims[lvl][0]
+        off = int(self.offsets[lvl][0])
+        dr0 = float(t.dr[lvl][0])
+        rmin = float(t.r_min[0])
+        i = np.arange(1 + off, X + off + 1)
+        r_face = rmin + dr0 * (i - 1)
+        r_face_hi = rmin + dr0 * i
+        r_inv = 1.0 / (rmin + dr0 * (i - 0.5))
+        dt = np.dtype(self.cfg.dtype)
+        return ((r_face * r_inv)[None, :].astype(dt),
+                (r_face_hi * r_inv)[None, :].astype(dt))
 
     def cell_centers(self, lvl: int) -> np.ndarray:
         """Canvas cell centers [Y, X, 2] in global coordinates."""
@@ -583,7 +608,16 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
             bpw = d2._bvals(cfg, vecs)
             nbrs = self._dir_neighbors(cfg, canvas, vals, lvl, masks,
                                        bpw)
-            if cfg.n_eps:
+            if cfg.cyl_w is not None:
+                # 2D cylindrical laplacian (dense2d._halfsweep's
+                # cyl_laplacian_smooth_half order, box_gs_clpl)
+                w_lo, w_hi = cfg.cyl_w
+                xlo, xhi = nbrs[0]
+                ylo, yhi = nbrs[1]
+                fac = 0.5 / (cfg.idr2[0] + cfg.idr2[1])
+                new = fac * (cfg.idr2[0] * (w_hi * xhi + w_lo * xlo)
+                             + cfg.idr2[1] * (yhi + ylo) - rhs)
+            elif cfg.n_eps:
                 # harmonic-mean face coefficients, dense2d._halfsweep's
                 # eps accumulation order (m_vlaplacian.f90:84-100)
                 num = -rhs
@@ -621,6 +655,14 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         vecs = self._face_vecs(canvas, raw, bcache, lvl)
         bpw = d2._bvals(cfg, vecs)
         nbrs = self._dir_neighbors(cfg, canvas, vals, lvl, masks, bpw)
+        if cfg.cyl_w is not None:
+            w_lo, w_hi = cfg.cyl_w
+            xlo, xhi = nbrs[0]
+            ylo, yhi = nbrs[1]
+            out = (cfg.idr2[0] * (w_lo * xlo + w_hi * xhi
+                                  - 2.0 * canvas)
+                   + cfg.idr2[1] * (ylo + yhi - 2.0 * canvas))
+            return state["rhs"][lvl] - out if residual else out
         out = -lam2 * canvas
         if cfg.n_eps:
             enbrs, ecanv = self._eps_nbrs(state, lvl, masks)

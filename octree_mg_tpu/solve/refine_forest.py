@@ -60,8 +60,17 @@ class RefinedForestPoisson:
 
     def __init__(self, solver: DenseForestMGSolver,
                  bc_values: Optional[List[float]] = None,
-                 lam: float = 0.0):
+                 lam: float = 0.0, inner_ghost_refresh: str = "half"):
         assert isinstance(solver, DenseForestMGSolver), solver
+        # "pair": relaxed inner-smoother cadence (one fused Mosaic pass
+        # per red+black pair, DenseForestMGSolver._smooth_pairs) — the
+        # inner FMG is only a preconditioner here, but the stale
+        # boundary ghosts cost real contraction (measured ~2x/outer on
+        # small canvases vs ~20x at "half"), so the reference-faithful
+        # cadence stays the default; opt in where the boundary fraction
+        # is small and measured contraction holds.
+        assert inner_ghost_refresh in ("half", "pair")
+        solver.ghost_refresh = inner_ghost_refresh
         self.s = solver
         if solver.cfg.dtype != jnp.float32:
             raise ValueError("refines an f32 inner solver; got %s"
@@ -248,56 +257,58 @@ class RefinedForestPoisson:
     # ------------------------------------------------------------------
     def _residual_df(self, X, RHSh, RHSl, lvl, memo):
         """r_hi ~= rhs - A(x) on the padded canvas, df-exact at
-        footprint cells.  Neighbor reads are rolls of the RAW pair
-        canvases with the per-segment df ghosts overlaid at the cells
-        they serve (the overlay formulation: direction-correct at
-        concave corners by construction)."""
+        footprint cells.  Neighbor reads are SHIFTED SLICES of the
+        materialized df ext pair (all ghosts in place), so the whole
+        chain fuses into one elementwise program — rolling raw pair
+        canvases with per-segment overlays measured 46 ms at a 512-class
+        canvas (unfused-roll class, ~25 GB/s) vs ~3x less for the
+        slice form (probe_refine_forest_anatomy).  Conflicted levels
+        use per-axis exts so direction-d reads see d-axis ghosts
+        (per-box ghost storage semantics)."""
         sv = self.s
         cfg = sv._kcfgs[lvl]
         idr2 = cfg.idr2[0]
         xh, xl = X[lvl]
-        bdf = self._bdf(X, lvl, memo)
-        ghosts = {i: self._ghost_df(lvl, seg, xh, xl, bdf, i)
-                  for i, seg in enumerate(sv.segs[lvl])}
-        s = RHSh[lvl]
-        comp = jnp.zeros_like(xh)
-        alo = jnp.zeros_like(xh)
-        for d, axis in ((0, 2), (1, 1), (2, 0)):
-            vlo_h = jnp.roll(xh, +1, axis=axis)
-            vhi_h = jnp.roll(xh, -1, axis=axis)
-            vlo_l = jnp.roll(xl, +1, axis=axis)
-            vhi_l = jnp.roll(xl, -1, axis=axis)
-            for i, seg in enumerate(sv.segs[lvl]):
-                if seg.nb // 2 != d:
-                    continue
-                step = 1 if seg.nb % 2 == 0 else -1
-                lo_r, hi_r = seg.lo.copy(), seg.hi.copy()
-                lo_r[d] += step
-                hi_r[d] += step
-                sl = sv._cansl(lo_r, hi_r)
-                gh, gl = ghosts[i]
-                if seg.nb % 2 == 0:
-                    vlo_h = vlo_h.at[sl].set(gh)
-                    vlo_l = vlo_l.at[sl].set(gl)
-                else:
-                    vhi_h = vhi_h.at[sl].set(gh)
-                    vhi_l = vhi_l.at[sl].set(gl)
+        if sv.conflicts.get(lvl) is None:
+            e0 = self._ext_df(X, lvl, memo)
+            exts = [e0, e0, e0]
+        else:
+            exts = [self._ext_df(X, lvl, memo, prefer=a)
+                    for a in range(3)]
+        X_, Y_, Z_ = sv.dims[lvl]
+
+        def shifted(arr, d, step):
+            sl = [slice(1, -1)] * 3
+            sl[2 - d] = slice(1 + step, arr.shape[2 - d] - 1 + step)
+            return arr[tuple(sl)]
+
+        ch = xh[_ISL]
+        cl = xl[_ISL]
+        s = RHSh[lvl][_ISL]
+        comp = jnp.zeros_like(ch)
+        alo = jnp.zeros_like(ch)
+        for d in range(3):
+            eh, el = exts[d]
+            vlo_h = shifted(eh, d, -1)
+            vhi_h = shifted(eh, d, +1)
+            vlo_l = shifted(el, d, -1)
+            vhi_l = shifted(el, d, +1)
             sd, ed = two_sum(vlo_h, vhi_h)
             s, e = two_sum(s, -(idr2 * sd))
             comp = comp + (e - idr2 * ed)
             alo = alo + idr2 * (vlo_l + vhi_l)
-        s, e = two_sum(s, (4.0 * idr2) * xh)
+        s, e = two_sum(s, (4.0 * idr2) * ch)
         comp = comp + e
-        s, e = two_sum(s, (2.0 * idr2) * xh)
+        s, e = two_sum(s, (2.0 * idr2) * ch)
         comp = comp + e
-        comp = comp + RHSl[lvl] - (alo - (6.0 * idr2) * xl)
+        comp = comp + RHSl[lvl][_ISL] - (alo - (6.0 * idr2) * cl)
         if self.lam_pair is not None:
             lam_h, lam_l = self.lam_pair
-            p, pe = two_prod(xh, lam_h)  # traced first
+            p, pe = two_prod(ch, lam_h)  # traced first
             s, e = two_sum(s, p)
-            comp = comp + (e + pe) + (lam_h * xl + lam_l * xh)
+            comp = comp + (e + pe) + (lam_h * cl + lam_l * ch)
         r_hi, _ = two_sum(s, comp)
-        return r_hi
+        return jnp.zeros_like(xh).at[_ISL].set(r_hi)
 
     # ------------------------------------------------------------------
     # double-float restriction (exact 8-cell average)

@@ -73,12 +73,14 @@ def boxed_to_canvas(solver_b, solver_d, state_b, lvl, iv):
 
 
 def setup_pair(kind="L", coarse="smooth", seed=3, operator="laplacian",
-               bc_fn=solution):
+               bc_fn=solution, geometry="cartesian"):
     tree = forest_tree(kind)
-    sb = MGSolver(tree, MGConfig(operator=operator, smoother="gsrb"))
+    sb = MGSolver(tree, MGConfig(operator=operator, smoother="gsrb",
+                                 geometry=geometry))
     sd = DenseForest2DMGSolver(tree, MGConfig(operator=operator,
                                               smoother="gsrb",
-                                              coarse_solver=coarse))
+                                              coarse_solver=coarse,
+                                              geometry=geometry))
     if not all(tree.periodic):
         sb.set_bc(IPHI, BCType.DIRICHLET, fn=bc_fn)
         sd.set_bc(0, BCType.DIRICHLET, fn=bc_fn)
@@ -284,3 +286,50 @@ def test_forest2d_gspmd_sharded_matches_single():
         f"GSPMD forest diff {np.max(np.abs(a - b))}")
     assert abs(results[False][1] - results[True][1]) <= 1e-10 * max(
         1.0, results[False][1])
+
+
+# ---------------------------------------------------------------------------
+# cylindrical (r, z) geometry on forests (box_clpl/box_gs_clpl,
+# m_laplacian.f90:197-271 — the radial face weights ride the canvas
+# columns at the canvas offset)
+# ---------------------------------------------------------------------------
+
+def test_cylindrical_forest_gating():
+    cfg = MGConfig(operator="laplacian", geometry="cylindrical")
+    t = forest_tree("L")
+    assert dense_forest2d_supported(t, cfg)
+    assert isinstance(make_solver(t, cfg), DenseForest2DMGSolver)
+    # cylindrical is laplacian-only (the reference has no cyl helmholtz)
+    assert not dense_forest2d_supported(
+        t, MGConfig(operator="helmholtz", geometry="cylindrical"))
+
+
+def test_cylindrical_forest_smooth_residual_bitwise():
+    sb, st_b, sd, st_d = setup_pair("L", geometry="cylindrical")
+    lam = jnp.asarray(0.0, jnp.float64)
+    lvl = sb.levels[-1]
+    st_b2 = sb._smooth_boxes(st_b, sb._to_device(), lvl, 1, lam)
+    st_d2 = sd._smooth(st_d, lvl, 1, lam)
+    m = _mask(sd, lvl)
+    ref = boxed_to_canvas(sb, sd, st_b2, lvl, IPHI)
+    got = np.asarray(sd.interior(st_d2, lvl, "phi")) * m
+    assert np.array_equal(got, ref * m), (
+        f"max diff {np.max(np.abs(got - ref * m))}")
+    st_b3 = sb._residual_lvl(st_b, sb._to_device(), lvl, lam)
+    st_d3 = sd._residual(st_d, lvl, lam)
+    ref_r = boxed_to_canvas(sb, sd, st_b3, lvl, IRES)
+    got_r = np.asarray(sd.interior(st_d3, lvl, "ires")) * m
+    assert np.array_equal(got_r, ref_r * m)
+
+
+def test_cylindrical_forest_vcycle():
+    sb, st_b, sd, st_d = setup_pair("two", geometry="cylindrical")
+    st_b2, res_b = sb.fas_vcycle(st_b)
+    st_d2, res_d = sd.fas_vcycle(st_d)
+    lvl = sb.levels[-1]
+    m = _mask(sd, lvl)
+    ref = boxed_to_canvas(sb, sd, st_b2, lvl, IPHI) * m
+    got = np.asarray(sd.interior(st_d2, lvl, "phi")) * m
+    scale = max(float(np.max(np.abs(ref))), 1e-30)
+    assert np.max(np.abs(got - ref)) <= 1e-13 * scale
+    assert abs(float(res_b) - float(res_d)) <= 1e-12 * float(res_b)
