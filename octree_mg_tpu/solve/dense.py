@@ -946,6 +946,25 @@ class DenseMGSolver:
             state = self._subtract_mean(state, "phi")
         return state, res
 
+    def _a0_zero(self) -> bool:
+        """Whether A(0) == 0 exactly on every level — all faces periodic
+        or homogeneous constant BCs (ghost(0) = c0*b = 0).  Then the
+        zero-guess FMG's initial update_coarse chain is exactly
+        rhs_c = restrict(rhs) (ires = rhs - A(0) = rhs, phi_c = 0,
+        A(phi_c) = 0), so the down pass needs only the restriction
+        kernels — no residual/apply passes (saves ~8% of the 512^3 FMG;
+        the refined drivers' homogeneous inner solves always
+        qualify)."""
+        for lvl in self.levels:
+            cfg = self._kcfgs[lvl]
+            for nb in range(2 * self.ndim):
+                if cfg.periodic[nb // 2]:
+                    continue
+                b = cfg.b_const[nb]
+                if b is None or float(b) != 0.0:
+                    return False
+        return True
+
     def _zero_phi(self, state, lvl):
         return self._set(state, "phi", lvl,
                          jnp.zeros_like(state["phi"][lvl]))
@@ -955,11 +974,19 @@ class DenseMGSolver:
 
     def _fmg(self, state, lam, have_guess, need_res):
         min_lvl, top = self.levels[0], self.levels[-1]
+        zero_fast = not have_guess and self._a0_zero()
         if not have_guess:
             for lvl in self.levels:
                 state = self._zero_phi(state, lvl)
         for lvl in range(top, min_lvl, -1):
-            state = self._update_coarse(state, lvl, lam)
+            if zero_fast:
+                # A(0) = 0: the whole update_coarse collapses to the
+                # rhs restriction (values equal the full chain's; the
+                # boxed reference path keeps the full computation)
+                state = self._restrict_into(state, lvl, "rhs")
+                state = self._save_iold(state, lvl - 1)
+            else:
+                state = self._update_coarse(state, lvl, lam)
         if self.subtract_mean:
             state = self._subtract_mean(state, "rhs")
 

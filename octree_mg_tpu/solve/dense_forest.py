@@ -435,6 +435,16 @@ class DenseForestMGSolver(DenseMGSolver):
     def _gspmd(self) -> bool:
         return getattr(self, "_gspmd_mesh", None) is not None
 
+    def _a0_zero(self) -> bool:
+        """Forest rendering of DenseMGSolver._a0_zero: the kernels see
+        identity-coefficient planes (b_const None), but ghost(0) is 0
+        whenever the PHYSICAL boundary values are 0 — rb ghosts of the
+        zero field interpolate the zero coarse strip, wraps copy 0."""
+        for spec in self.bc_spec:
+            if spec["fn"] is not None or float(spec["value"]) != 0.0:
+                return False
+        return True
+
     def _coarse_of(self, u):
         """Coarse unit under a fine unit: lvl - 1 here; the multi-canvas
         subclass maps a component to the coarse component containing

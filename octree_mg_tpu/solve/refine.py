@@ -151,22 +151,25 @@ class RefinedPoisson:
     @functools.cached_property
     def _jit_step(self):
         """Fused outer step for the Mosaic path: double-float
-        accumulation of the previous FMG correction, pad sync, the
-        df32 residual kernel, and the rhs write — one dispatch, all
-        big buffers donated (x_hi, x_lo and the rhs buffer update in
-        place; only the Mosaic kernel output is fresh)."""
+        accumulation of the previous FMG correction, pad sync, and the
+        df32 residual kernel — one dispatch, x_hi/x_lo donated.  The
+        kernel's PADDED output becomes the next rhs directly (pads are
+        garbage-by-contract everywhere; _sync_pads rebuilds periodic
+        pads before every sweep) — the old interior rewrite into the
+        previous rhs buffer cost a full extra HBM pass (~5 ms at 512^3,
+        probe_refine_step)."""
         solver, top = self.solver, self.top
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def f(xhi, xlo, rhs_buf, e32, rhshi_p, rhslo_p):
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def f(xhi, xlo, e32, rhshi_p, rhslo_p):
             xhi, xlo = accumulate_df32(xhi, xlo, e32)
             xhi = solver._sync_pads(xhi, top)
             xlo = solver._sync_pads(xlo, top)
-            ri = residual_df32_dense(self.cfg, xhi, xlo, rhshi_p,
+            rp = residual_df32_dense(self.cfg, xhi, xlo, rhshi_p,
                                      rhslo_p, cbs=self.cbs,
-                                     lam_pair=self.lam_pair)[_ISL]
-            mx = jnp.max(jnp.abs(ri))
-            return xhi, xlo, rhs_buf.at[_ISL].set(ri), mx
+                                     lam_pair=self.lam_pair)
+            mx = jnp.max(jnp.abs(rp[_ISL]))
+            return xhi, xlo, rp, mx
         return f
 
     def _zeros_padded(self):
@@ -192,7 +195,7 @@ class RefinedPoisson:
         state["rhs"] = dict(state["rhs"])
         for i in range(n_outer + 1):
             xhi, xlo, rhs_new, mx = self._jit_step(
-                xhi, xlo, state["rhs"][top], e32, rhshi_p, rhslo_p)
+                xhi, xlo, e32, rhshi_p, rhslo_p)
             state["rhs"][top] = rhs_new
             norms_dev.append(mx)
             if i == n_outer:
@@ -290,34 +293,33 @@ class ShardedRefinedPoisson(RefinedPoisson):
             # replicated top: the plain step runs under GSPMD as-is
             return RefinedPoisson._jit_step.func(self)
 
-        def local(xhi, xlo, rhs_buf, e32, rhi, rlo):
-            xhi, xlo, rhs_buf, e32, rhi, rlo = (
-                a[0] for a in (xhi, xlo, rhs_buf, e32, rhi, rlo))
+        def local(xhi, xlo, e32, rhi, rlo):
+            xhi, xlo, e32, rhi, rlo = (
+                a[0] for a in (xhi, xlo, e32, rhi, rlo))
             solver._ctx = {"idx": lax.axis_index(AXIS)}
             try:
                 xhi, xlo = accumulate_df32(xhi, xlo, e32)
                 xhi = solver._sync_pads(xhi, top)
                 xlo = solver._sync_pads(xlo, top)
-                ri = residual_df32_dense(cfg, xhi, xlo, rhi, rlo,
+                rp = residual_df32_dense(cfg, xhi, xlo, rhi, rlo,
                                          z_gates=solver._gates(top),
                                          cbs=self.cbs,
-                                         lam_pair=self.lam_pair)[_ISL]
-                mx = lax.pmax(jnp.max(jnp.abs(ri)), AXIS)
-                rhs_buf = rhs_buf.at[_ISL].set(ri)
+                                         lam_pair=self.lam_pair)
+                mx = lax.pmax(jnp.max(jnp.abs(rp[_ISL])), AXIS)
             finally:
                 solver._ctx = None
-            return xhi[None], xlo[None], rhs_buf[None], mx
+            return xhi[None], xlo[None], rp[None], mx
 
         sp = P(AXIS)
 
-        def run(xhi, xlo, rhs_buf, e32, rhi, rlo):
+        def run(xhi, xlo, e32, rhi, rlo):
             f = jax.shard_map(local, mesh=solver.mesh,
-                              in_specs=(sp,) * 6,
+                              in_specs=(sp,) * 5,
                               out_specs=(sp, sp, sp, P()),
                               check_vma=False)
-            return f(xhi, xlo, rhs_buf, e32, rhi, rlo)
+            return f(xhi, xlo, e32, rhi, rlo)
 
-        return jax.jit(run, donate_argnums=(0, 1, 2))
+        return jax.jit(run, donate_argnums=(0, 1))
 
     def solve(self, state, rhs_hi, rhs_lo, n_outer: int = 8,
               rtol: float = 0.0):
