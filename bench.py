@@ -95,7 +95,7 @@ def run(size, box, n_its=None, dtype_name="float32"):
     return ups, dt / n_its, converged, r0, r1
 
 
-def run_mixed(size, box, n_outer=6):
+def run_mixed(size, box, n_outer=10):
     """f32 sweeps + f64 residual (SURVEY §7.3.7): iterative refinement.
 
     Outer loop in float64: r = rhs - A(x) via the jnp f64 operator
@@ -141,10 +141,19 @@ def run_mixed(size, box, n_outer=6):
                 return hi, lo
             rhi, rlo = _mk_rhs(jax.random.PRNGKey(0))
         rp = RefinedPoisson(s32)
-        _, _, _, st32 = rp.solve(st32, rhi, rlo, n_outer=1)  # warm
-        t0 = time.perf_counter()
-        _, _, norms, st32 = rp.solve(st32, rhi, rlo, n_outer=n_outer)
-        dt = time.perf_counter() - t0
+        # warm to steady state: the first executions of a fresh program
+        # run ~25% slow on this runtime (allocator/program warm-up —
+        # probe_solve_clean rep0 96 ms vs 75-77 settled)
+        _, _, _, st32 = rp.solve(st32, rhi, rlo, n_outer=6)
+        _, _, _, st32 = rp.solve(st32, rhi, rlo, n_outer=6)
+        # best of 3 (the repo probe idiom): tunnel throughput varies
+        # +-10% between runs; min is the honest steady-state figure
+        dt = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, _, norms, st32 = rp.solve(st32, rhi, rlo,
+                                         n_outer=n_outer)
+            dt = min(dt, time.perf_counter() - t0)
         unknowns = float(sum(int(np.prod(s32.dims[l]))
                              for l in s32.levels))
         factors = [norms[i] / norms[i + 1] for i in range(len(norms) - 1)]

@@ -27,8 +27,13 @@ from .solve.dense_amr2d import Dense2DAMRMGSolver, dense_amr2d_supported
 from .solve.dense_forest import DenseForestMGSolver, dense_forest_supported
 from .solve.dense_forest2d import (DenseForest2DMGSolver,
                                    dense_forest2d_supported)
+from .solve.dense_multiforest import (DenseMultiForest2DMGSolver,
+                                      DenseMultiForestMGSolver,
+                                      dense_multiforest2d_supported,
+                                      dense_multiforest_supported)
 from .solve.refine import (RefinedPoisson, RefinedPoisson2D,
                            ShardedRefinedPoisson, solve_refined)
+from .solve.refine_forest import RefinedForestPoisson
 from .ops.df32 import df32_ok, df32_ok_2d, split_f64
 
 __all__ = [
@@ -44,7 +49,10 @@ __all__ = [
     "Dense2DAMRMGSolver", "dense_amr2d_supported",
     "DenseForestMGSolver", "dense_forest_supported",
     "DenseForest2DMGSolver", "dense_forest2d_supported",
+    "DenseMultiForestMGSolver", "dense_multiforest_supported",
+    "DenseMultiForest2DMGSolver", "dense_multiforest2d_supported",
     "RefinedPoisson", "RefinedPoisson2D", "ShardedRefinedPoisson",
+    "RefinedForestPoisson",
     "solve_refined", "df32_ok", "df32_ok_2d", "split_f64",
 ]
 

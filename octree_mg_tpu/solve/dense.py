@@ -87,10 +87,14 @@ def make_solver(tree: Tree, config: Optional[MGConfig] = None):
                                  dense_forest2d_supported)
     if dense_forest2d_supported(tree, cfg):
         return DenseForest2DMGSolver(tree, cfg)
-    from .dense_multiforest import (DenseMultiForestMGSolver,
+    from .dense_multiforest import (DenseMultiForest2DMGSolver,
+                                    DenseMultiForestMGSolver,
+                                    dense_multiforest2d_supported,
                                     dense_multiforest_supported)
     if dense_multiforest_supported(tree, cfg):
         return DenseMultiForestMGSolver(tree, cfg)
+    if dense_multiforest2d_supported(tree, cfg):
+        return DenseMultiForest2DMGSolver(tree, cfg)
     return MGSolver(tree, cfg)
 
 
@@ -870,6 +874,12 @@ class DenseMGSolver:
         """State key of a level's (single) canvas — the multi-canvas
         forest subclass maps it to the level's first component unit."""
         return lvl
+
+    def _coarse_of(self, u):
+        """Coarse unit under a fine unit: lvl - 1 here; the multi-canvas
+        forest subclasses map a component to the coarse component
+        containing its image."""
+        return u - 1
 
     def _coarse_direct(self, state, lam):
         """phi = A^{-1}(rhs - A(0)) via the precomputed eigenbasis."""

@@ -445,12 +445,6 @@ class DenseForestMGSolver(DenseMGSolver):
                 return False
         return True
 
-    def _coarse_of(self, u):
-        """Coarse unit under a fine unit: lvl - 1 here; the multi-canvas
-        subclass maps a component to the coarse component containing
-        its image (solve/dense_multiforest.py)."""
-        return u - 1
-
 
     def _kcfg(self, lvl: int) -> dk.DenseStencilConfig:
         """Every face is a precomputed ghost plane with identity

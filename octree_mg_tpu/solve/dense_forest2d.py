@@ -96,10 +96,11 @@ def _greedy_rects_2d(occ: np.ndarray) -> List[Tuple[np.ndarray, np.ndarray]]:
 class _LevelGeom2D:
     """Canvas geometry of one refinement level (2D)."""
 
-    def __init__(self, tree: Tree, lvl: int):
+    def __init__(self, tree: Tree, lvl: int, ids=None):
         self.lvl = lvl
         self.nc = nc = tree.box_size_lvl[lvl]
-        ids = tree.lvls[lvl].ids
+        ids = tree.lvls[lvl].ids if ids is None else np.asarray(ids)
+        self.ids = ids
         ix = tree.ix[ids][:, :2] - 1             # [n, 2] 0-based box coords
         self.box_lo = ix.min(axis=0)
         box_hi = ix.max(axis=0) + 1
@@ -258,7 +259,8 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         coefficients — the vector carries the already-synthesized ghost
         values (phys/rb/wrap per segment), refreshed per half-sweep."""
         t = self.tree
-        idr2 = tuple(float(x) for x in 1.0 / t.dr[lvl] ** 2)
+        idr2 = tuple(float(x)
+                     for x in 1.0 / t.dr[self._lvl_of(lvl)] ** 2)
         cyl_w = None
         if self.cfg.geometry == "cylindrical":
             cyl_w = self._cyl_weights(lvl)
@@ -274,7 +276,7 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         t = self.tree
         X = self.dims[lvl][0]
         off = int(self.offsets[lvl][0])
-        dr0 = float(t.dr[lvl][0])
+        dr0 = float(t.dr[self._lvl_of(lvl)][0])
         rmin = float(t.r_min[0])
         i = np.arange(1 + off, X + off + 1)
         r_face = rmin + dr0 * (i - 1)
@@ -288,7 +290,7 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         """Canvas cell centers [Y, X, 2] in global coordinates."""
         t = self.tree
         X, Y = self.dims[lvl]
-        dr = t.dr[lvl]
+        dr = t.dr[self._lvl_of(lvl)]
         off = self.offsets[lvl]
         out = np.zeros((Y, X, 2))
         out[..., 0] = (t.r_min[0] + (off[0] + np.arange(X) + 0.5)
@@ -321,7 +323,7 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         the physical segments); ghost synthesis happens traced."""
         t = self.tree
         X, Y = self.dims[lvl]
-        dr = t.dr[lvl]
+        dr = t.dr[self._lvl_of(lvl)]
         r0g = t.r_min
         off = self.offsets[lvl]
         dt = self.cfg.dtype
@@ -380,17 +382,18 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         segs_rb = [s for s in self.segs[lvl] if s.kind == "rb"]
         if not segs_rb:
             return {}
-        bc_c = self._rb_cache(state, lvl - 1, key)
-        if self.conflicted.get(lvl - 1):
+        uc = self._coarse_of(lvl)
+        bc_c = self._rb_cache(state, uc, key)
+        if self.conflicted.get(uc):
             # the strip's ±1 endpoint reads are transverse-axis ghost
             # reads of the coarse neighbor (m_ghost_cells.f90:545-555)
-            ext_ax = {a: self._ext(state, lvl - 1, key, bcache=bc_c,
+            ext_ax = {a: self._ext(state, uc, key, bcache=bc_c,
                                    prefer=a) for a in range(2)}
             ext = ext_ax[0]
         else:
             ext_ax = None
-            ext = self._ext(state, lvl - 1, key, bcache=bc_c)
-        off_c = self.offsets[lvl - 1]
+            ext = self._ext(state, uc, key, bcache=bc_c)
+        off_c = self.offsets[uc]
         off_f = self.offsets[lvl]
         out = {}
         for i, seg in enumerate(self.segs[lvl]):
@@ -702,7 +705,7 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
     # ------------------------------------------------------------------
     def _image_rects(self, lvl):
         off_f = self.offsets[lvl]
-        off_c = self.offsets[lvl - 1]
+        off_c = self.offsets[self._coarse_of(lvl)]
         out = []
         for lo, hi in self.geom[lvl].rects:
             out.append(((off_f + lo) // 2 - off_c,
@@ -717,32 +720,37 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         fine = state[key][lvl]
         avg = jnp.dot(jnp.dot(Ry, fine, precision="highest"), Rx.T,
                       precision="highest") * 0.25
-        coarse = state[key][lvl - 1]
+        uc = self._coarse_of(lvl)
+        coarse = state[key][uc]
         for (lo, hi), (clo, chi) in zip(self.geom[lvl].rects,
                                         self._image_rects(lvl)):
             win = (slice(int(lo[1]) // 2, int(hi[1]) // 2),
                    slice(int(lo[0]) // 2, int(hi[0]) // 2))
             coarse = coarse.at[self._cansl(clo, chi)].set(avg[win])
-        return self._set(state, key, lvl - 1, coarse)
+        return self._set(state, key, uc, coarse)
 
     def _finish_coarse_rhs(self, state, lvl, lam):
         """rhs_c = A(phi_c) + restrict(res) on the image rectangles only
         (parents, m_multigrid.f90:369-383); iold_c = phi_c."""
-        a_phi = self._apply_op(state, lvl - 1, lam)
-        rhs_c = state["rhs"][lvl - 1]
+        uc = self._coarse_of(lvl)
+        a_phi = self._apply_op(state, uc, lam)
+        rhs_c = state["rhs"][uc]
         for clo, chi in self._image_rects(lvl):
             sl = self._cansl(clo, chi)
             rhs_c = rhs_c.at[sl].set(a_phi[sl]
-                                     + state["ires"][lvl - 1][sl])
-        state = self._set(state, "rhs", lvl - 1, rhs_c)
-        state = self._set(state, "iold", lvl - 1, state["phi"][lvl - 1])
+                                     + state["ires"][uc][sl])
+        state = self._set(state, "rhs", uc, rhs_c)
+        state = self._set(state, "iold", uc, state["phi"][uc])
         return state
 
     def _correct_children(self, state, lvl_c, lam):
         """phi_fine += prolong(phi_c - iold_c) over the fine canvas's
         coarse image + one ghost ring (correct_children,
         m_multigrid.f90:387-402)."""
-        lvl = lvl_c + 1
+        return self._correct_unit(state, lvl_c, lvl_c + 1, lam)
+
+    def _correct_unit(self, state, lvl_c, lvl, lam):
+        """One (coarse unit, fine unit) correction pair."""
         off_f = self.offsets[lvl]
         off_c = self.offsets[lvl_c]
         lo = (off_f // 2) - off_c

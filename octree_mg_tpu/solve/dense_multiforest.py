@@ -45,6 +45,8 @@ from ..core.constants import NO_BOX
 from ..core.tree import Tree
 from .dense_forest import (DenseForestMGSolver, _build_conflict_plan,
                            _forest_balanced, _LevelGeom)
+from .dense_forest2d import (DenseForest2DMGSolver, _has_ring_conflicts,
+                             _LevelGeom2D)
 from .multigrid import MGConfig
 
 
@@ -122,16 +124,19 @@ def dense_multiforest_supported(tree: Tree, cfg: MGConfig,
     return True
 
 
-class DenseMultiForestMGSolver(DenseForestMGSolver):
-    """FAS multigrid on per-component dense canvases.
+class _MultiUnitMixin:
+    """Per-component-canvas machinery shared by the 3D and 2D
+    multi-canvas forest solvers.
 
     State keys: ``(lvl, c)`` component tuples — ``units_of(lvl)``
     lists them.  All per-unit machinery (ghost segments, smoother,
-    transfers, exports) is the parent's, reused verbatim through the
-    unit-keyed dicts and the ``_coarse_of`` component map.
-    """
+    transfers, exports) is the single-canvas parent's, reused verbatim
+    through the unit-keyed dicts and the ``_coarse_of`` component map.
+    Subclasses set ``_GEOM`` (the canvas-geometry class taking an ids
+    subset) and implement ``_build_unit_plans`` (segments +
+    conflict bookkeeping in the parent's representation)."""
 
-    _supported = staticmethod(dense_multiforest_supported)
+    _GEOM = None
 
     # ------------------------------------------------------------------
     # setup
@@ -148,7 +153,7 @@ class DenseMultiForestMGSolver(DenseForestMGSolver):
                 # ALWAYS (lvl, c) tuples: jax pytree flattening sorts
                 # dict keys, and int/tuple mixes are not comparable
                 u = (lvl, c)
-                self.geom[u] = _LevelGeom(t, lvl, ids)
+                self.geom[u] = self._GEOM(t, lvl, ids)
                 us.append(u)
             self.units[lvl] = us
         self.dims = {u: self.geom[u].dims for us in self.units.values()
@@ -183,15 +188,19 @@ class DenseMultiForestMGSolver(DenseForestMGSolver):
         else:
             self.levels = all_lvls
         per = tuple(bool(p) for p in t.periodic)
-        self.segs = {u: self.geom[u].build_segments(per)
-                     for lvl in self.levels for u in self.units[lvl]}
-        self.conflicts = {
-            u: _build_conflict_plan(self.segs[u], self.dims[u])
-            for lvl in self.levels for u in self.units[lvl]}
+        self._build_unit_plans(per)
 
     def units_of(self, lvl: int) -> List:
         """State keys of a level's component canvases."""
         return self.units[lvl]
+
+    def _transfer_ok(self, lvl) -> bool:
+        return False
+
+    def _fused_transfer_ok(self, lvl) -> bool:
+        # forest transfers never fuse (and the base implementation
+        # indexes _kcfgs by int level, which multi keys by unit)
+        return False
 
     @functools.cached_property
     def _kcfgs(self):
@@ -313,3 +322,66 @@ class DenseMultiForestMGSolver(DenseForestMGSolver):
         raise NotImplementedError(
             "multi-canvas forests are single-device; sparse multi-chip "
             "placement falls back to the boxed GSPMD path")
+
+
+class DenseMultiForestMGSolver(_MultiUnitMixin, DenseForestMGSolver):
+    """3D FAS multigrid on per-component dense canvases (see
+    :class:`_MultiUnitMixin`)."""
+
+    _supported = staticmethod(dense_multiforest_supported)
+    _GEOM = _LevelGeom
+
+    def _build_unit_plans(self, per):
+        self.segs = {u: self.geom[u].build_segments(per)
+                     for lvl in self.levels for u in self.units[lvl]}
+        self.conflicts = {
+            u: _build_conflict_plan(self.segs[u], self.dims[u])
+            for lvl in self.levels for u in self.units[lvl]}
+
+
+def dense_multiforest2d_supported(tree: Tree, cfg: MGConfig,
+                                  min_fill: float = 0.2) -> bool:
+    """2D form of :func:`dense_multiforest_supported` (sparse quadtree
+    forests; same component/fill/wrap rules, forest2d's operator and
+    geometry gate incl. the cylindrical laplacian)."""
+    ok_op = (cfg.operator in ("laplacian", "helmholtz", "vlaplacian",
+                              "vhelmholtz", "ahelmholtz")
+             and cfg.geometry == "cartesian") \
+        or (cfg.operator == "laplacian"
+            and cfg.geometry == "cylindrical")
+    if not (tree.ndim == 2
+            and tree.highest_lvl > 1
+            and ok_op
+            and cfg.smoother in ("gsrb", "gs")):
+        return False
+    if tree.subtract_mean:
+        return False
+    if not _forest_balanced(tree):
+        return False
+    for lvl in range(tree.lowest_lvl, tree.highest_lvl + 1):
+        if len(tree.lvls[lvl].ids) == 0:
+            return False
+        comps = _components(tree, lvl)
+        if _wrap_crosses_components(tree, comps, lvl):
+            return False
+        for ids in comps:
+            g = _LevelGeom2D(tree, lvl, ids)
+            if g.n_cells < min_fill * int(np.prod(g.dims)):
+                return False
+    return True
+
+
+class DenseMultiForest2DMGSolver(_MultiUnitMixin,
+                                 DenseForest2DMGSolver):
+    """2D FAS multigrid on per-component dense canvases (see
+    :class:`_MultiUnitMixin`)."""
+
+    _supported = staticmethod(dense_multiforest2d_supported)
+    _GEOM = _LevelGeom2D
+
+    def _build_unit_plans(self, per):
+        self.segs = {u: self.geom[u].build_segments(per)
+                     for lvl in self.levels for u in self.units[lvl]}
+        self.conflicted = {u: _has_ring_conflicts(self.segs[u])
+                           for lvl in self.levels
+                           for u in self.units[lvl]}

@@ -172,14 +172,48 @@ class RefinedPoisson:
             return xhi, xlo, rp, mx
         return f
 
+    #: whether the single-dispatch fused outer (step + inner FMG in one
+    #: program) applies; the sharded driver keeps its shard_map split
+    _outer_fusable = True
+
     def _zeros_padded(self):
         return jnp.zeros(self.pshape, jnp.float32)
 
     def _interior(self, a):
         return a[_ISL]
 
+    @functools.cached_property
+    def _jit_outer(self):
+        """One WHOLE outer iteration as a single program: double-float
+        accumulation of the previous correction, the df32 residual
+        kernel (its padded output becomes the inner rhs), and the inner
+        zero-guess FMG.  One dispatch per outer instead of two — the
+        tunnel's per-dispatch latency and host pytree plumbing cost
+        several ms/outer at 512^3 (probe_solve_clean: 79-88 measured vs
+        the 76.5 piece-sum floor)."""
+        solver, top = self.solver, self.top
+        lam_a = solver._lam(self.lam)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def f(state, xhi, xlo, rhshi_p, rhslo_p):
+            e32 = state["phi"][top]
+            xhi, xlo = accumulate_df32(xhi, xlo, e32)
+            xhi = solver._sync_pads(xhi, top)
+            xlo = solver._sync_pads(xlo, top)
+            rp = residual_df32_dense(self.cfg, xhi, xlo, rhshi_p,
+                                     rhslo_p, cbs=self.cbs,
+                                     lam_pair=self.lam_pair)
+            mx = jnp.max(jnp.abs(rp[_ISL]))
+            state = solver._set(state, "rhs", top, rp)
+            state, _ = solver._fmg(state, lam_a, have_guess=False,
+                                   need_res=False)
+            return state, xhi, xlo, mx
+        return f
+
     def _solve_fused(self, state, rhshi_p, rhslo_p, n_outer, rtol):
-        """Fused-step loop: 2 dispatches per outer (step + FMG).
+        """Fused outer loop: ONE dispatch per outer (accumulate +
+        residual + inner FMG), plus a final step call for the closing
+        norm.
 
         With rtol == 0 (fixed outer count) the per-outer norm scalars
         stay on device and are read back once at the end — a per-outer
@@ -187,12 +221,34 @@ class RefinedPoisson:
         tunnel for more than the step itself costs (probe_refine_step:
         18.7 ms/step amortized vs ~43 ms with per-outer syncs)."""
         solver, top = self.solver, self.top
+        solver._ensure_direct(state)
         xhi = self._zeros_padded()
         xlo = self._zeros_padded()
-        e32 = self._zeros_padded()
         norms_dev: List = []
         state = dict(state)
         state["rhs"] = dict(state["rhs"])
+        if self._outer_fusable:
+            # first iteration: phi must be zero so the accumulation is
+            # a no-op (fresh allocate states are; reused may not be)
+            state = solver._set(state, "phi", top,
+                                jnp.zeros_like(state["phi"][top]))
+            for i in range(n_outer):
+                state, xhi, xlo, mx = self._jit_outer(
+                    state, xhi, xlo, rhshi_p, rhslo_p)
+                norms_dev.append(mx)
+                if rtol:  # early exit requested: sync each outer
+                    if float(mx) <= rtol * float(norms_dev[0]):
+                        break
+            # closing norm: accumulate last correction + residual only
+            xhi, xlo, rhs_new, mx = self._jit_step(
+                xhi, xlo, state["phi"][top], rhshi_p, rhslo_p)
+            state["rhs"][top] = rhs_new
+            norms_dev.append(mx)
+            norms = [float(m) for m in norms_dev]
+            return self._interior(xhi), self._interior(xlo), norms, state
+        # two-dispatch loop (sharded path: the inner FMG runs through
+        # the solver's own shard_map programs)
+        e32 = self._zeros_padded()
         for i in range(n_outer + 1):
             xhi, xlo, rhs_new, mx = self._jit_step(
                 xhi, xlo, e32, rhshi_p, rhslo_p)
@@ -200,7 +256,7 @@ class RefinedPoisson:
             norms_dev.append(mx)
             if i == n_outer:
                 break
-            if rtol:  # early exit requested: must sync each outer
+            if rtol:
                 if float(mx) <= rtol * float(norms_dev[0]):
                     break
             state, _ = solver.fas_fmg(state, lam=self.lam,
@@ -238,6 +294,8 @@ class RefinedPoisson:
 
 
 class ShardedRefinedPoisson(RefinedPoisson):
+    _outer_fusable = False
+
     """Iterative refinement over :class:`ShardedDenseMGSolver`: the
     fused outer step runs inside ``shard_map`` on the z-slab layout —
     double-float accumulation, ppermute halo exchange, the df32

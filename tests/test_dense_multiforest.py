@@ -214,3 +214,97 @@ def test_vcoeff_multiforest():
     st, r0 = sd.fas_fmg(st, lam=0.4)
     st, r1 = sd.fas_vcycle(st, lam=0.4)
     assert float(r1) < 0.5 * float(r0), (float(r0), float(r1))
+
+
+# ---------------------------------------------------------------------------
+# 2D sparse forests (DenseMultiForest2DMGSolver)
+# ---------------------------------------------------------------------------
+
+from octree_mg_tpu.solve.dense_forest2d import dense_forest2d_supported  # noqa: E402
+from octree_mg_tpu.solve.dense_multiforest import (  # noqa: E402
+    DenseMultiForest2DMGSolver, dense_multiforest2d_supported)
+
+
+def sparse_tree_2d(geometry="cartesian"):
+    """4 isolated corner patches on a 64^2-base quadtree: lvl-2 fill
+    4*8^2 / 96^2 = 2.8%."""
+    t = build_rectangle(2, [64] * 2, 8, [1 / 64.] * 2,
+                        [0.5, 0] if geometry == "cylindrical" else [0] * 2)
+    corners = {2, 7}
+    _refine(t, 1, lambda ix: all(v in corners for v in ix[:2]))
+    tm.finalize_amr(t, 2)
+    return t
+
+
+def boxed_to_unit_2d(sb, sd, st_b, u, iv):
+    t = sb.tree
+    g = sd.geom[u]
+    lvl = g.lvl
+    nc = t.box_size_lvl[lvl]
+    X, Y = sd.dims[u]
+    off = sd.offsets[u] // nc
+    out = np.zeros((Y, X))
+    arr = np.asarray(st_b["cc"][lvl][iv])
+    pos = {int(b): i for i, b in enumerate(t.lvls[lvl].ids)}
+    for b in g.ids:
+        ix = t.ix[int(b)][:2] - 1 - off
+        sl = (slice(ix[1] * nc, (ix[1] + 1) * nc),
+              slice(ix[0] * nc, (ix[0] + 1) * nc))
+        out[sl] = arr[pos[int(b)]][1:-1, 1:-1]
+    return out
+
+
+def unit_mask_2d(sd, u):
+    X, Y = sd.dims[u]
+    m = np.zeros((Y, X), dtype=bool)
+    for lo, hi in sd.geom[u].rects:
+        m[lo[1]:hi[1], lo[0]:hi[0]] = True
+    return m
+
+
+@pytest.mark.parametrize("geometry", ["cartesian", "cylindrical"])
+def test_multiforest2d_vcycle_equivalent(geometry):
+    """2D scattered patches: gating + V-cycle vs boxed (~1 ulp),
+    cartesian and cylindrical."""
+    tree = sparse_tree_2d(geometry)
+    cfg = MGConfig(operator="laplacian", geometry=geometry)
+    assert not dense_forest2d_supported(tree, cfg)
+    assert dense_multiforest2d_supported(tree, cfg)
+    sd = make_solver(tree, MGConfig(operator="laplacian",
+                                    geometry=geometry,
+                                    coarse_solver="smooth"))
+    assert isinstance(sd, DenseMultiForest2DMGSolver)
+    sb = MGSolver(tree, MGConfig(operator="laplacian",
+                                 geometry=geometry, smoother="gsrb"))
+    sb.set_bc(IPHI, BCType.DIRICHLET, 0.25)
+    sd.set_bc(0, BCType.DIRICHLET, 0.25)
+    st_b = sb.allocate()
+    st_d = sd.allocate()
+    rng = np.random.default_rng(5)
+    for lvl in sb.levels:
+        nb = sb.static[lvl]["n_boxes"]
+        nc = sb.static[lvl]["nc"]
+        isl = (slice(None),) + (slice(1, -1),) * 2
+        for iv in (IPHI, IRHS):
+            vals = rng.normal(size=(nb,) + (nc,) * 2)
+            st_b["cc"][lvl] = st_b["cc"][lvl].at[(iv,) + isl].set(vals)
+    st_b = sb.fill_ghost(st_b, IPHI)
+    st_b = sb.fill_ghost(st_b, IRHS)
+    for lvl in sd.levels:
+        for u in sd.units_of(lvl):
+            for k, iv in (("phi", IPHI), ("rhs", IRHS)):
+                st_d = sd.set_interior(
+                    st_d, u, k,
+                    jnp.asarray(boxed_to_unit_2d(sb, sd, st_b, u, iv)))
+    st_b2, res_b = sb.fas_vcycle(st_b)
+    st_d2, res_d = sd.fas_vcycle(st_d)
+    lvl = sd.levels[-1]
+    worst = 0.0
+    scale = 1e-30
+    for u in sd.units_of(lvl):
+        want = boxed_to_unit_2d(sb, sd, st_b2, u, IPHI)
+        got = np.asarray(st_d2["phi"][u]) * unit_mask_2d(sd, u)
+        worst = max(worst, float(np.max(np.abs(got - want))))
+        scale = max(scale, float(np.max(np.abs(want))))
+    assert worst <= 1e-13 * scale, (worst, scale)
+    assert abs(float(res_b) - float(res_d)) <= 1e-12 * float(res_b)
