@@ -389,6 +389,39 @@ class RefinedForestPoisson:
 
         return f
 
+    @functools.cached_property
+    def _jit_outer(self):
+        """One WHOLE outer iteration as a single program (the uniform
+        driver's round-4 pattern): accumulate + df restriction + df
+        residuals become the inner rhs + the inner zero-guess forest
+        FMG — one dispatch instead of two plus host pytree churn."""
+        sv = self.s
+        lam_a = sv._lam(self.lam)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def f(X, state, RHSh, RHSl):
+            E = {lvl: state["phi"][lvl] for lvl in sv.levels}
+            X = dict(X)
+            for lvl in sv.levels:
+                xh, xl = X[lvl]
+                X[lvl] = accumulate_df32(xh, xl, E[lvl])
+            for lvl in reversed(sv.levels[1:]):
+                X = self._restrict_into_df(X, lvl)
+            memo = {}
+            norm = jnp.zeros((), jnp.float32)
+            state = dict(state)
+            state["rhs"] = dict(state["rhs"])
+            for lvl in sv.levels:
+                r = self._residual_df(X, RHSh, RHSl, lvl, memo)
+                state["rhs"][lvl] = r
+                norm = jnp.maximum(norm, jnp.max(jnp.where(
+                    self.leaf_mask[lvl], jnp.abs(r[_ISL]), 0.0)))
+            state, _ = sv._fmg(state, lam_a, have_guess=False,
+                               need_res=False)
+            return X, state, norm
+
+        return f
+
     def solve(self, state, rhs_hi: Dict, rhs_lo: Dict, n_outer: int = 8,
               rtol: float = 0.0):
         """rhs_hi/rhs_lo: {lvl: interior [Z, Y, X] f32} pairs
@@ -407,22 +440,25 @@ class RefinedForestPoisson:
                 jnp.asarray(rhs_hi[lvl], jnp.float32))
             RHSl[lvl] = jnp.zeros(shape, jnp.float32).at[_ISL].set(
                 jnp.asarray(rhs_lo[lvl], jnp.float32))
-        E = {lvl: jnp.zeros(sv._pshape(sv.dims[lvl]), jnp.float32)
-             for lvl in sv.levels}
         norms_dev: List = []
         state = dict(state)
         state["rhs"] = dict(state["rhs"])
-        for i in range(n_outer + 1):
-            X, R, mx = self._jit_step(X, E, RHSh, RHSl)
+        sv._ensure_direct(state)
+        # first accumulation must be a no-op: zero the inner phi
+        for lvl in sv.levels:
+            state = sv._set(state, "phi", lvl,
+                            jnp.zeros_like(state["phi"][lvl]))
+        for i in range(n_outer):
+            X, state, mx = self._jit_outer(X, state, RHSh, RHSl)
             norms_dev.append(mx)
-            if i == n_outer:
-                break
             if rtol and float(mx) <= rtol * float(norms_dev[0]):
                 break
-            for lvl in sv.levels:
-                state["rhs"][lvl] = R[lvl]
-            state, _ = sv.fas_fmg(state, lam=self.lam, need_res=False)
-            E = {lvl: state["phi"][lvl] for lvl in sv.levels}
+        # closing norm: accumulate the last correction + residuals only
+        E = {lvl: state["phi"][lvl] for lvl in sv.levels}
+        X, R, mx = self._jit_step(X, E, RHSh, RHSl)
+        for lvl in sv.levels:
+            state["rhs"][lvl] = R[lvl]
+        norms_dev.append(mx)
         norms = [float(m) for m in norms_dev]
         out = {lvl: (X[lvl][0][_ISL], X[lvl][1][_ISL])
                for lvl in sv.levels}
