@@ -128,6 +128,14 @@ class HostCoupling:
             apply_load_balance(tree, n_ranks, policy="parents",
                                leaf_ranks=by_id)
         self.solver = make_solver(tree, self.config)
+        from ..solve.dense_multiforest import _MultiUnitMixin
+        if isinstance(self.solver, _MultiUnitMixin):
+            # the coupling's leaf import/export addresses one canvas per
+            # level; multi-canvas (sparse-forest) solvers key state by
+            # (lvl, component) — route coupled sparse trees through the
+            # boxed solver until the leaf indexer learns units
+            from ..solve.multigrid import MGSolver
+            self.solver = MGSolver(tree, self.config)
         self.dense = isinstance(self.solver, DenseMGSolver)
         for iv, bc_type, value, nb, fn in self._bc_calls:
             if self.dense and iv != IPHI:

@@ -197,3 +197,38 @@ def test_host_coupling_dense_forest2d():
     st, res0 = hd.solver.fas_fmg(hd.state)
     st, res = hd.solver.fas_fmg(st, have_guess=True)
     assert float(res) < 0.2 * float(res0)
+
+
+def test_host_coupling_sparse_forest_falls_back_boxed():
+    """A coupled host tree whose refinement is sparse (below the
+    single-canvas fill gates) must not route to the multi-canvas
+    solvers — their (lvl, component) state keys don't fit the coupling
+    leaf indexer yet — and runs through the boxed solver instead
+    (field copies round-trip)."""
+    from octree_mg_tpu import MGConfig
+    from octree_mg_tpu.solve.dense_multiforest import (
+        _MultiUnitMixin, dense_multiforest2d_supported)
+    from octree_mg_tpu.solve.multigrid import MGSolver
+
+    def sparse_refine(lvl, ix):
+        # two isolated corner boxes of an 8x8 box lattice
+        return lvl == 1 and (all(v == 2 for v in ix[:2])
+                             or all(v == 7 for v in ix[:2]))
+
+    hc = HostCoupling(2, [64, 64], 8, [1 / 64] * 2, [0, 0],
+                      [False, False],
+                      config=MGConfig(operator="laplacian"))
+    hc.update_refinement(sparse_refine, max_lvl=2)
+    # the bare tree WOULD route multi — the coupling must not
+    assert dense_multiforest2d_supported(hc.solver.tree,
+                                         MGConfig(operator="laplacian"))
+    assert isinstance(hc.solver, MGSolver)
+    assert not isinstance(hc.solver, _MultiUnitMixin)
+    rng = np.random.default_rng(3)
+    # copy_to_tree takes leaves INCLUDING the one-ghost layer
+    fields = {k: rng.normal(size=(10, 10))
+              for k in hc.copy_from_tree(0)}
+    hc.copy_to_tree(fields, 0)
+    out = hc.copy_from_tree(0)
+    for k in fields:
+        assert np.array_equal(out[k], fields[k][1:-1, 1:-1])
