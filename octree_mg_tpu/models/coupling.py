@@ -89,6 +89,7 @@ class HostCoupling:
         self.dense = False
         self._bc_calls: List[tuple] = []
         self._leaf_index: Dict[Tuple[int, Tuple[int, ...]], Tuple[int, int]] = {}
+        self._leaf_unit: Dict = {}
 
     # -- tree lifecycle -------------------------------------------------
     def update_refinement(self, refine_fn, max_lvl: int,
@@ -128,14 +129,6 @@ class HostCoupling:
             apply_load_balance(tree, n_ranks, policy="parents",
                                leaf_ranks=by_id)
         self.solver = make_solver(tree, self.config)
-        from ..solve.dense_multiforest import _MultiUnitMixin
-        if isinstance(self.solver, _MultiUnitMixin):
-            # the coupling's leaf import/export addresses one canvas per
-            # level; multi-canvas (sparse-forest) solvers key state by
-            # (lvl, component) — route coupled sparse trees through the
-            # boxed solver until the leaf indexer learns units
-            from ..solve.multigrid import MGSolver
-            self.solver = MGSolver(tree, self.config)
         self.dense = isinstance(self.solver, DenseMGSolver)
         for iv, bc_type, value, nb, fn in self._bc_calls:
             if self.dense and iv != IPHI:
@@ -153,7 +146,9 @@ class HostCoupling:
 
     def _build_leaf_index(self):
         """(lvl, ix) -> (lvl, loc) lookup for leaves, the analogue of the
-        reference's igrid <-> node id links."""
+        reference's igrid <-> node id links.  Multi-canvas (sparse
+        forest) solvers additionally get a leaf -> unit map so field
+        copies address the right component canvas."""
         self._leaf_index.clear()
         t = self.solver.tree
         for lvl in [l for l in self.solver.levels if l >= 1]:
@@ -161,6 +156,27 @@ class HostCoupling:
                 if len(t.lvls[lvl].leaves) else []
             for b, loc in zip(t.lvls[lvl].leaves, locs):
                 self._leaf_index[(lvl, tuple(t.ix[int(b)]))] = (lvl, int(loc))
+        self._leaf_unit = {}
+        if self.dense and hasattr(self.solver, "units_of"):
+            id2unit = {}
+            for lvl in self.solver.levels:
+                for u in self.solver.units_of(lvl):
+                    for b in self.solver.geom[u].ids:
+                        id2unit[int(b)] = u
+            for lvl in [l for l in self.solver.levels if l >= 1]:
+                for b in t.lvls[lvl].leaves:
+                    self._leaf_unit[(lvl, tuple(t.ix[int(b)]))] = \
+                        id2unit[int(b)]
+
+    def _units_of(self, lvl):
+        """State keys of a level's canvases (just ``lvl`` unless the
+        solver is multi-canvas)."""
+        us = getattr(self.solver, "units_of", None)
+        return us(lvl) if us is not None else [lvl]
+
+    def _unit_of(self, lvl, ix):
+        """Canvas key holding a given leaf."""
+        return self._leaf_unit.get((lvl, tuple(np.asarray(ix))), lvl)
 
     def set_boundary_conditions(self, type_names: Sequence[str],
                                 iv: int = IPHI):
@@ -178,10 +194,11 @@ class HostCoupling:
         self.state = self.solver.allocate() if self.state is None else self.state
 
     # -- field transfer -------------------------------------------------
-    def _leaf_start(self, lvl: int, ix) -> np.ndarray:
-        """Patch-local cell start of a leaf box (x, y, z order)."""
-        nc = self.solver.tree.box_size_lvl[lvl]
-        off = (self.solver.offsets[lvl]
+    def _leaf_start(self, unit, ix) -> np.ndarray:
+        """Canvas-local cell start of a leaf box (x, y, z order);
+        ``unit`` is a level int or a multi-canvas (lvl, c) key."""
+        nc = self.solver.tree.box_size_lvl[self.solver._lvl_of(unit)]
+        off = (self.solver.offsets[unit]
                if hasattr(self.solver, "offsets") else 0)
         return (np.asarray(ix) - 1) * nc - off
 
@@ -193,20 +210,21 @@ class HostCoupling:
         if self.dense:
             sv = self.solver
             key = _dense_key(sv, iv)
-            per_level: Dict[int, List] = {}
+            per_unit: Dict = {}
             for (lvl, ix), arr in leaf_fields.items():
-                per_level.setdefault(lvl, []).append((ix, np.asarray(arr)))
-            for lvl, items in per_level.items():
-                nc = sv.tree.box_size_lvl[lvl]
-                cur = np.array(sv.interior(state, lvl, key))
+                u = self._unit_of(lvl, ix)
+                per_unit.setdefault(u, []).append((ix, np.asarray(arr)))
+            for u, items in per_unit.items():
+                nc = sv.tree.box_size_lvl[sv._lvl_of(u)]
+                cur = np.array(sv.interior(state, u, key))
                 for ix, a in items:
                     if a.shape[-1] == nc + 2:  # strip the host ghost layer
                         a = a[(slice(1, -1),) * self.ndim]
-                    s = self._leaf_start(lvl, ix)
+                    s = self._leaf_start(u, ix)
                     sl = tuple(slice(int(s[d]), int(s[d]) + nc)
                                for d in reversed(range(self.ndim)))
                     cur[sl] = a
-                state = sv.set_interior(state, lvl, key,
+                state = sv.set_interior(state, u, key,
                                         jnp.asarray(cur, sv.cfg.dtype))
             if restrict:
                 for lvl in range(sv.levels[-1], sv.levels[0], -1):
@@ -240,42 +258,44 @@ class HostCoupling:
         if self.dense:
             sv = self.solver
             key = _dense_key(sv, iv)
-            ringed: Dict[int, np.ndarray] = {}
+            ringed: Dict = {}
             # forest solvers expose per-axis rings: at concave-corner
             # conflict cells the exported face-d ghost must carry the
             # axis-d value (per-box ghost storage semantics)
             axes_fn = getattr(sv, "_var_with_ring_axes", None)
-            ringed_ax: Dict[int, Optional[List[np.ndarray]]] = {}
+            ringed_ax: Dict = {}
             for lvl in sv.levels:
                 if lvl < 1:
                     continue
-                if with_ghosts:
-                    if axes_fn is not None:
-                        ringed_ax[lvl] = [
-                            np.asarray(v)
-                            for v in axes_fn(self.state, lvl, key)]
-                        ringed[lvl] = ringed_ax[lvl][0]
+                for u in self._units_of(lvl):
+                    if with_ghosts:
+                        if axes_fn is not None:
+                            ringed_ax[u] = [
+                                np.asarray(v)
+                                for v in axes_fn(self.state, u, key)]
+                            ringed[u] = ringed_ax[u][0]
+                        else:
+                            ringed_ax[u] = None
+                            ringed[u] = np.asarray(
+                                sv._var_with_ring(self.state, u, key))
                     else:
-                        ringed_ax[lvl] = None
-                        ringed[lvl] = np.asarray(
-                            sv._var_with_ring(self.state, lvl, key))
-                else:
-                    ringed[lvl] = np.asarray(sv.interior(self.state,
-                                                         lvl, key))
+                        ringed[u] = np.asarray(sv.interior(self.state,
+                                                           u, key))
             for (lvl, ix) in self._leaf_index:
+                u = self._unit_of(lvl, ix)
                 nc = sv.tree.box_size_lvl[lvl]
-                s = self._leaf_start(lvl, np.asarray(ix))
+                s = self._leaf_start(u, np.asarray(ix))
                 if with_ghosts:
                     sl = tuple(slice(int(s[d]), int(s[d]) + nc + 2)
                                for d in reversed(range(self.ndim)))
                 else:
                     sl = tuple(slice(int(s[d]), int(s[d]) + nc)
                                for d in reversed(range(self.ndim)))
-                w = ringed[lvl][sl]
-                if with_ghosts and ringed_ax.get(lvl) is not None:
+                w = ringed[u][sl]
+                if with_ghosts and ringed_ax.get(u) is not None:
                     w = w.copy()
                     for d in range(self.ndim):
-                        wa = ringed_ax[lvl][d][sl]
+                        wa = ringed_ax[u][d][sl]
                         ax = self.ndim - 1 - d
                         for side in (0, -1):
                             fsl = [slice(None)] * self.ndim

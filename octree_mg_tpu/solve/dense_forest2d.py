@@ -269,6 +269,15 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
             periodic=(False, False), dtype=self.cfg.dtype,
             b_const=[None] * 4, n_eps=self.n_eps, cyl_w=cyl_w)
 
+    def _a0_zero(self) -> bool:
+        """Forest rendering of DenseMGSolver._a0_zero (the kernels see
+        identity planes, b_const None): ghost(0) is 0 whenever the
+        PHYSICAL boundary values are 0 (see DenseForestMGSolver)."""
+        for spec in self.bc_spec:
+            if spec["fn"] is not None or float(spec["value"]) != 0.0:
+                return False
+        return True
+
     def _cyl_weights(self, lvl: int):
         """Radial face weights on the CANVAS columns: global radii at
         canvas offset off_x (box_clpl, m_laplacian.f90:209-212; the
@@ -812,7 +821,7 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         self._direct = self._forest_direct(state) or "unavailable"
 
     def _forest_direct(self, state=None):
-        lvl = self.levels[0]
+        lvl = self._unit0(self.levels[0])
         X, Y = self.dims[lvl]
         m = X * Y
         dt = self.cfg.dtype

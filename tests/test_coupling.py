@@ -199,36 +199,55 @@ def test_host_coupling_dense_forest2d():
     assert float(res) < 0.2 * float(res0)
 
 
-def test_host_coupling_sparse_forest_falls_back_boxed():
+def test_host_coupling_sparse_forest_multicanvas():
     """A coupled host tree whose refinement is sparse (below the
-    single-canvas fill gates) must not route to the multi-canvas
-    solvers — their (lvl, component) state keys don't fit the coupling
-    leaf indexer yet — and runs through the boxed solver instead
-    (field copies round-trip)."""
-    from octree_mg_tpu import MGConfig
+    single-canvas fill gates) routes to the multi-canvas solver; leaf
+    field copies address the right component canvas and round-trip
+    exactly, ghost-inclusive export matches the boxed coupling, and
+    the coupled solve converges."""
+    from octree_mg_tpu import IRHS, MGConfig
     from octree_mg_tpu.solve.dense_multiforest import (
-        _MultiUnitMixin, dense_multiforest2d_supported)
-    from octree_mg_tpu.solve.multigrid import MGSolver
+        DenseMultiForest2DMGSolver)
 
     def sparse_refine(lvl, ix):
         # two isolated corner boxes of an 8x8 box lattice
         return lvl == 1 and (all(v == 2 for v in ix[:2])
                              or all(v == 7 for v in ix[:2]))
 
-    hc = HostCoupling(2, [64, 64], 8, [1 / 64] * 2, [0, 0],
-                      [False, False],
-                      config=MGConfig(operator="laplacian"))
-    hc.update_refinement(sparse_refine, max_lvl=2)
-    # the bare tree WOULD route multi — the coupling must not
-    assert dense_multiforest2d_supported(hc.solver.tree,
-                                         MGConfig(operator="laplacian"))
-    assert isinstance(hc.solver, MGSolver)
-    assert not isinstance(hc.solver, _MultiUnitMixin)
+    def mk(cfg):
+        hcx = HostCoupling(2, [64, 64], 8, [1 / 64] * 2, [0, 0],
+                           [False, False], config=cfg)
+        hcx.update_refinement(sparse_refine, max_lvl=2)
+        hcx.set_boundary_conditions(["asymm", "asymm", "symm", "symm"])
+        return hcx
+
+    hc = mk(MGConfig(operator="laplacian"))
+    hb = mk(MGConfig(operator="laplacian", smoother="jacobi"))  # boxed
+    assert isinstance(hc.solver, DenseMultiForest2DMGSolver)
     rng = np.random.default_rng(3)
     # copy_to_tree takes leaves INCLUDING the one-ghost layer
     fields = {k: rng.normal(size=(10, 10))
               for k in hc.copy_from_tree(0)}
     hc.copy_to_tree(fields, 0)
+    hb.copy_to_tree(fields, 0)
     out = hc.copy_from_tree(0)
     for k in fields:
         assert np.array_equal(out[k], fields[k][1:-1, 1:-1])
+    # ghost-inclusive export matches the boxed coupling's fill_ghost
+    hb.state = hb.solver.fill_ghost(hb.state, 0)
+    gm = hc.copy_from_tree(0, with_ghosts=True)
+    gb = hb.copy_from_tree(0, with_ghosts=True)
+    for k in gm:
+        # faces only (corner ghosts are not meaningful)
+        a, b = gm[k], gb[k]
+        for side in (0, -1):
+            assert np.allclose(a[side, 1:-1], b[side, 1:-1],
+                               atol=1e-12), k
+            assert np.allclose(a[1:-1, side], b[1:-1, side],
+                               atol=1e-12), k
+    # and the coupled solve runs on the multi solver
+    rhs = {k: np.ones((8, 8)) for k in fields}
+    hc.copy_to_tree(rhs, IRHS)
+    st, r0 = hc.solver.fas_fmg(hc.state)
+    st, r1 = hc.solver.fas_vcycle(st)
+    assert float(r1) < 0.5 * float(r0)
