@@ -27,7 +27,7 @@ from ..core import tree as tree_mod
 from ..core.constants import IOLD, IPHI, IRES, IRHS, IVEPS, BCType
 from ..core.tree import Tree
 from ..solve.dense import DenseMGSolver, make_solver
-from ..solve.multigrid import MGConfig, MGSolver
+from ..solve.multigrid import MGConfig
 
 
 def _dense_key(solver, iv: int) -> str:

@@ -38,7 +38,6 @@ weights at the canvas column offset, m_laplacian.f90:197-271), GSRB,
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, List, Optional, Tuple
 
 import jax

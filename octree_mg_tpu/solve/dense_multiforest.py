@@ -36,7 +36,7 @@ face).  Bitwise per phase vs the boxed solver
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import jax.numpy as jnp
 import numpy as np

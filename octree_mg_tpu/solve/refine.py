@@ -22,11 +22,10 @@ chunked residual outside the gate.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 from ..ops import dense_kernels as dk
