@@ -26,11 +26,12 @@ class.  The reference's ghost machinery is footprint-agnostic
 
 Gating (``dense_multiforest_supported``): the single-canvas gate minus
 the whole-level fill requirement, plus per-COMPONENT fill >= min_fill
-(a blob's own bounding box is dense even when the level's is not), no
-fully-periodic trees (subtract-mean would need cross-component
-plumbing), and no periodic wrap whose same-level source lies in another
-component (the segment builder would misclassify it as a refinement
-face).  Bitwise per phase vs the boxed solver
+(a blob's own bounding box is dense even when the level's is not) and
+no fully-periodic trees (subtract-mean would need cross-component
+plumbing).  Periodic wrap never crosses components: tree.neighbors
+stores wrap neighbors as real box ids (core/tree.py), so ``_components``
+merges wrap-adjacent boxes into one (domain-spanning) component whose
+fill gate then decides.  Bitwise per phase vs the boxed solver
 (tests/test_dense_multiforest.py).
 """
 from __future__ import annotations
@@ -76,26 +77,6 @@ def _components(tree: Tree, lvl: int) -> List[np.ndarray]:
     return out
 
 
-def _wrap_crosses_components(tree: Tree, comps: List[np.ndarray],
-                             lvl: int) -> bool:
-    """Whether any periodic same-level neighbor pair spans two
-    components (the per-component segment builder would misclassify the
-    wrap as a refinement face)."""
-    if not any(tree.periodic):
-        return False
-    comp_of = {}
-    for c, ids in enumerate(comps):
-        for b in ids:
-            comp_of[int(b)] = c
-    for c, ids in enumerate(comps):
-        for b in ids:
-            for nb in range(2 * tree.ndim):
-                q = int(tree.neighbors[int(b), nb])
-                if q > NO_BOX and comp_of.get(q, c) != c:
-                    return True
-    return False
-
-
 def dense_multiforest_supported(tree: Tree, cfg: MGConfig,
                                 min_fill: float = 0.2) -> bool:
     """Whether the multi-canvas forest path covers this configuration
@@ -114,10 +95,7 @@ def dense_multiforest_supported(tree: Tree, cfg: MGConfig,
     for lvl in range(tree.lowest_lvl, tree.highest_lvl + 1):
         if len(tree.lvls[lvl].ids) == 0:
             return False
-        comps = _components(tree, lvl)
-        if _wrap_crosses_components(tree, comps, lvl):
-            return False
-        for ids in comps:
+        for ids in _components(tree, lvl):
             g = _LevelGeom(tree, lvl, ids)
             if g.n_cells < min_fill * int(np.prod(g.dims)):
                 return False
@@ -361,10 +339,7 @@ def dense_multiforest2d_supported(tree: Tree, cfg: MGConfig,
     for lvl in range(tree.lowest_lvl, tree.highest_lvl + 1):
         if len(tree.lvls[lvl].ids) == 0:
             return False
-        comps = _components(tree, lvl)
-        if _wrap_crosses_components(tree, comps, lvl):
-            return False
-        for ids in comps:
+        for ids in _components(tree, lvl):
             g = _LevelGeom2D(tree, lvl, ids)
             if g.n_cells < min_fill * int(np.prod(g.dims)):
                 return False

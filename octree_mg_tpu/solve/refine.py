@@ -293,14 +293,14 @@ class RefinedPoisson:
 
 
 class ShardedRefinedPoisson(RefinedPoisson):
-    _outer_fusable = False
-
     """Iterative refinement over :class:`ShardedDenseMGSolver`: the
     fused outer step runs inside ``shard_map`` on the z-slab layout —
     double-float accumulation, ppermute halo exchange, the df32
     residual with per-shard z gates, a ``pmax`` norm, and the rhs
     write.  The inner FMG is the sharded solver's own.  Bitwise vs the
     single-device RefinedPoisson (tests/test_dense_shard.py)."""
+
+    _outer_fusable = False
 
     def __init__(self, solver, bc_values: Optional[List[float]] = None,
                  lam: float = 0.0):
@@ -478,7 +478,18 @@ def solve_refined(solver: DenseMGSolver, state, rhs_hi, rhs_lo,
     (solve/refine_forest.py)."""
     from .dense2d import Dense2DMGSolver
     from .dense_forest import DenseForestMGSolver
+    from .dense_multiforest import (DenseMultiForest2DMGSolver,
+                                    DenseMultiForestMGSolver)
     from .dense_shard import ShardedDenseMGSolver
+    if isinstance(solver, (DenseMultiForestMGSolver,
+                           DenseMultiForest2DMGSolver)):
+        # multi-canvas solvers key geometry/state by (lvl, c) unit
+        # tuples; the refinement drivers index by int level and would
+        # die with an opaque KeyError (advisor round-4 finding)
+        raise NotImplementedError(
+            "iterative refinement does not support multi-canvas "
+            "(sparse) forest solvers; build a single-canvas forest "
+            "solver (DenseForestMGSolver) or use the f32 path")
     if isinstance(solver, DenseForestMGSolver):
         from .refine_forest import RefinedForestPoisson
         return RefinedForestPoisson(solver, bc_values=bc_values,

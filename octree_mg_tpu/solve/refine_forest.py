@@ -70,7 +70,10 @@ class RefinedForestPoisson:
         # cadence stays the default; opt in where the boundary fraction
         # is small and measured contraction holds.
         assert inner_ghost_refresh in ("half", "pair")
-        solver.ghost_refresh = inner_ghost_refresh
+        # applied per-solve (not persisted on the shared solver: a
+        # permanent mutation would silently drop the solver's
+        # bitwise-vs-boxed cadence contract for later standalone calls)
+        self.inner_ghost_refresh = inner_ghost_refresh
         self.s = solver
         if solver.cfg.dtype != jnp.float32:
             raise ValueError("refines an f32 inner solver; got %s"
@@ -428,6 +431,15 @@ class RefinedForestPoisson:
         (``ops.df32.split_f64`` converts float64 fields; leaf cells are
         what matters).  Returns ({lvl: (x_hi, x_lo) interior}, leaf
         residual-max history, inner state)."""
+        sv = self.s
+        saved_refresh = getattr(sv, "ghost_refresh", "half")
+        sv.ghost_refresh = self.inner_ghost_refresh
+        try:
+            return self._solve(state, rhs_hi, rhs_lo, n_outer, rtol)
+        finally:
+            sv.ghost_refresh = saved_refresh
+
+    def _solve(self, state, rhs_hi, rhs_lo, n_outer, rtol):
         sv = self.s
         X = {}
         RHSh, RHSl = {}, {}

@@ -146,6 +146,18 @@ def test_gating_and_routing(kind):
         assert n_units == 8
 
 
+def test_refine_rejects_multiforest_clearly():
+    """solve_refined must not route a multi-canvas solver into
+    RefinedForestPoisson (unit-tuple keys vs int levels -> opaque
+    KeyError; advisor round-4 finding)."""
+    from octree_mg_tpu.solve.refine import solve_refined
+    tree = sparse_tree("eight")
+    sd = DenseMultiForestMGSolver(tree, MGConfig(operator="laplacian"))
+    st = sd.allocate()
+    with pytest.raises(NotImplementedError, match="multi-canvas"):
+        solve_refined(sd, st, {}, {})
+
+
 @pytest.mark.parametrize("kind", ["eight", "mixed", "threelvl"])
 def test_smooth_bitwise(kind):
     """Per-component canvas smoothing == boxed smooth_boxes bitwise on
