@@ -297,9 +297,56 @@ class _MultiUnitMixin:
         return state
 
     def shard_state(self, state, mesh, min_local: int = 8):
-        raise NotImplementedError(
-            "multi-canvas forests are single-device; sparse multi-chip "
-            "placement falls back to the boxed GSPMD path")
+        """Place the multi-canvas forest state on a 1D device mesh
+        (GSPMD) — the reference's any-tree-any-rank-count capability
+        (m_load_balance.f90:71-136) for SPARSE forests.
+
+        Each unit canvas slab-shards along its slowest axis (z in 3D,
+        y in 2D) when the local slab stays >= ``min_local`` with even
+        extent — at production sizes that is the full-domain base
+        level, where the dominant work lives (docs/PERF.md: component
+        canvases add ~launch-floor cost).  Units too small to slab
+        (scattered blob canvases, the coarsest cycled level) replicate
+        — coarse/smallest agglomeration, as every other GSPMD path
+        here.  Sharded execution uses the parent class's overlay
+        formulation per unit (rolls of the RAW canvas + ring-ghost
+        overlays; rolls of scatter outputs miscompile under GSPMD),
+        which indexes all geometry by dict key and therefore works
+        unchanged with ``(lvl, c)`` unit keys.  Asserted sharded ==
+        single in tests/test_dense_multiforest.py and the
+        __graft_entry__ dryrun."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ndim = self.tree.ndim
+        ax = mesh.axis_names[0]
+        K = int(np.prod(mesh.devices.shape))
+        repl = NamedSharding(mesh, PartitionSpec())
+        slab = NamedSharding(
+            mesh, PartitionSpec(ax, *([None] * (ndim - 1))))
+        self._gspmd_mesh = mesh
+        # constraint ops must be IN the trace: drop pre-mesh traces
+        for cached in ("_jit_vcycle", "_jit_fmg"):
+            self.__dict__.pop(cached, None)
+        flags = {}
+        for lvl in self.levels:
+            for u in self.units[lvl]:
+                S = int(self.dims[u][-1])  # z extent (3D) / y (2D)
+                flags[u] = (lvl != self.levels[0] and K > 1
+                            and S % K == 0 and (S // K) % 2 == 0
+                            and S // K >= min_local)
+        # per-unit decision, inspectable under both naming conventions
+        self.z_sharded = self.y_sharded = flags
+        out = {}
+        for key, per_u in state.items():
+            if key == "bc":
+                out[key] = {u: [jax.device_put(v, repl) for v in ps]
+                            for u, ps in per_u.items()}
+            else:
+                out[key] = {u: jax.device_put(
+                    a, slab if flags[u] else repl)
+                    for u, a in per_u.items()}
+        return out
 
 
 class DenseMultiForestMGSolver(_MultiUnitMixin, DenseForestMGSolver):

@@ -320,3 +320,104 @@ def test_multiforest2d_vcycle_equivalent(geometry):
         scale = max(scale, float(np.max(np.abs(want))))
     assert worst <= 1e-13 * scale, (worst, scale)
     assert abs(float(res_b) - float(res_d)) <= 1e-12 * float(res_b)
+
+
+# ---------------------------------------------------------------------------
+# GSPMD sharding of multi-canvas forests (sharded == single-device)
+# ---------------------------------------------------------------------------
+
+def shardy_tree_3d():
+    """Sparse 3-level tree with slab-shardable canvases: lvl-2 full
+    (32^3, z-shards on the 8-device mesh), lvl-3 = one z-spanning
+    column component (4x4x32 canvas, z-shards) + one isolated box
+    (4^3, replicates)."""
+    t = build_rectangle(3, [16] * 3, 4, [1 / 16.] * 3, [0] * 3)
+    _refine(t, 1, lambda ix: True)
+    _refine(t, 2, lambda ix: (ix[0] == 2 and ix[1] == 2)
+            or all(v == 7 for v in ix))
+    tm.finalize_amr(t, 3)
+    return t
+
+
+def _mf_gspmd_run_3d(shard, mesh):
+    sd = make_solver(shardy_tree_3d(), MGConfig(operator="laplacian"))
+    assert isinstance(sd, DenseMultiForestMGSolver)
+    sd.set_bc(0, BCType.DIRICHLET, 0.25)
+    st = sd.allocate()
+    rng = np.random.default_rng(11)
+    for lvl in sd.levels:
+        for u in sd.units_of(lvl):
+            X, Y, Z = sd.dims[u]
+            st = sd.set_interior(
+                st, u, "rhs", jnp.asarray(rng.normal(size=(Z, Y, X))))
+    if shard:
+        st = sd.shard_state(st, mesh, min_local=4)
+        assert sum(sd.z_sharded.values()) >= 2, sd.z_sharded
+    st, _ = sd.fas_fmg(st)
+    st, res_v = sd.fas_vcycle(st)
+    out = {u: np.asarray(st["phi"][u][sd._isl]) * unit_mask(sd, u)
+           for lvl in sd.levels for u in sd.units_of(lvl)}
+    return out, float(res_v)
+
+
+def test_multiforest_gspmd_sharded_matches_single():
+    """Sparse multi-canvas forest distributed over an 8-device mesh:
+    big unit canvases z-slab shard (incl. a sparse z-column component),
+    small ones replicate; results match single-device (the reference
+    runs any tree at any rank count, m_load_balance.f90:71-136)."""
+    import jax
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:8]), ("z",))
+    a, ra = _mf_gspmd_run_3d(False, mesh)
+    b, rb = _mf_gspmd_run_3d(True, mesh)
+    for u in a:
+        scale = max(float(np.max(np.abs(a[u]))), 1e-30)
+        assert np.max(np.abs(a[u] - b[u])) <= 1e-11 * scale, (
+            u, float(np.max(np.abs(a[u] - b[u]))), scale)
+    assert abs(ra - rb) <= 1e-9 * max(1.0, ra)
+
+
+def shardy_tree_2d():
+    """2D analogue: lvl-2 full 32^2 (y-shards), lvl-3 = a y-spanning
+    column component (4x32) + an isolated box (4^2)."""
+    t = build_rectangle(2, [16] * 2, 4, [1 / 16.] * 2, [0] * 2)
+    _refine(t, 1, lambda ix: True)
+    _refine(t, 2, lambda ix: ix[0] == 2 or all(v == 7 for v in ix[:2]))
+    tm.finalize_amr(t, 3)
+    return t
+
+
+def test_multiforest2d_gspmd_sharded_matches_single():
+    import jax
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:8]), ("y",))
+
+    def run(shard):
+        sd = make_solver(shardy_tree_2d(),
+                         MGConfig(operator="laplacian",
+                                  coarse_solver="smooth"))
+        assert isinstance(sd, DenseMultiForest2DMGSolver)
+        sd.set_bc(0, BCType.DIRICHLET, 0.25)
+        st = sd.allocate()
+        rng = np.random.default_rng(12)
+        for lvl in sd.levels:
+            for u in sd.units_of(lvl):
+                X, Y = sd.dims[u]
+                st = sd.set_interior(
+                    st, u, "rhs", jnp.asarray(rng.normal(size=(Y, X))))
+        if shard:
+            st = sd.shard_state(st, mesh, min_local=4)
+            assert sum(sd.y_sharded.values()) >= 2, sd.y_sharded
+        st, _ = sd.fas_fmg(st)
+        st, res_v = sd.fas_vcycle(st)
+        out = {u: np.asarray(st["phi"][u]) * unit_mask_2d(sd, u)
+               for lvl in sd.levels for u in sd.units_of(lvl)}
+        return out, float(res_v)
+
+    a, ra = run(False)
+    b, rb = run(True)
+    for u in a:
+        scale = max(float(np.max(np.abs(a[u]))), 1e-30)
+        assert np.max(np.abs(a[u] - b[u])) <= 1e-11 * scale, (
+            u, float(np.max(np.abs(a[u] - b[u]))), scale)
+    assert abs(ra - rb) <= 1e-9 * max(1.0, ra)
