@@ -311,6 +311,154 @@ def residual_df32_dense(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi,
 
 
 # ---------------------------------------------------------------------------
+# double-float PAIR arithmetic (variable-coefficient operators)
+#
+# The constant-coefficient residual above is ERROR-FREE (every product
+# exact by construction).  Variable-coefficient operators
+# (vlaplacian/vhelmholtz/ahelmholtz, m_vlaplacian.f90:84-128,
+# m_ahelmholtz.f90:69-162) have harmonic-mean face coefficients
+# 2*ea*eb/(ea+eb) whose product and quotient cannot be exact — but
+# double-float ARITHMETIC (Dekker/Bailey pair operations built on the
+# same TwoSum/TwoProduct EFTs) evaluates them to ~1-2 ulp of the f32
+# PAIR (~2^-47 relative), which is still the f64 accuracy class the
+# reference has (m_data_structures.f90:8).  Each op renormalizes with
+# FastTwoSum, so errors do not accumulate past the pair ulp class over
+# the ~20-op residual chain.
+# ---------------------------------------------------------------------------
+
+def df_add(a, b):
+    """(ah, al) + (bh, bl), ~1 ulp of the pair."""
+    s, e = two_sum(a[0], b[0])
+    return fast_two_sum(s, a[1] + b[1] + e)
+
+
+def df_sub(a, b):
+    s, e = two_sum(a[0], -b[0])
+    return fast_two_sum(s, a[1] - b[1] + e)
+
+
+def df_mul(a, b):
+    """(ah, al) * (bh, bl), ~2 ulp of the pair (Dekker mul2)."""
+    p, pe = two_prod(a[0], b[0])
+    return fast_two_sum(p, pe + a[0] * b[1] + a[1] * b[0])
+
+
+def df_div(a, b):
+    """(ah, al) / (bh, bl), ~3 ulp of the pair (Dekker div2: high
+    quotient + one exact-remainder correction step)."""
+    q1 = a[0] / b[0]
+    p, pe = two_prod(q1, b[0])
+    # r = a - q1*b, the high part via TwoSum (p is close to a[0])
+    rh, re = two_sum(a[0], -p)
+    rl = a[1] - pe - q1 * b[1] + re
+    q2 = (rh + rl) / b[0]
+    return fast_two_sum(q1, q2)
+
+
+def df_scale_pow2(a, s: float):
+    """Exact power-of-two scale of a pair."""
+    return s * a[0], s * a[1]
+
+
+def df32_vcoeff_ok(cfg: dk.DenseStencilConfig) -> bool:
+    """Gate for the double-float variable-coefficient residual: eps
+    present, per-dim power-of-two 1/dx^2 (the c*idr2 scale stays
+    exact), exact BC coefficient classes with static boundary values,
+    default Neumann-zero eps ghosts.  Unlike ``df32_ok`` the per-dim
+    spacings need not be equal (ahelmholtz grids)."""
+    if not cfg.n_eps:
+        return False
+    if getattr(cfg, "eps_bc", None) is not None:
+        return False
+    for d in range(3):
+        if not _is_pow2(cfg.idr2[d]):
+            return False
+        if cfg.periodic[d]:
+            continue
+        for nb in (2 * d, 2 * d + 1):
+            c0, c1, c2 = cfg.bc[nb]
+            if c1 not in _OK_C or c2 not in _OK_C:
+                return False
+            if cfg.b_const[nb] is None:
+                return False
+    return True
+
+
+def _ghost_pair(xh, xl, x2h, x2l, bc3, cb):
+    """Physical-face ghost as a df pair: c0*b + c1*x1 + c2*x2 with the
+    (c0*b) constant pre-split (cb) and c1, c2 in the exact class."""
+    c0, c1, c2 = bc3
+    cb_h, cb_l = cb
+    gv, ge = two_sum(c1 * xh, cb_h)       # traced first (two_sum)
+    gl = c1 * xl + cb_l
+    if c2 != 0.0:
+        gv, e2 = two_sum(gv, c2 * x2h)
+        ge = ge + e2
+        gl = gl + c2 * x2l
+    return fast_two_sum(gv, gl + ge)
+
+
+def residual_df32_vcoeff(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi,
+                         rhslo, eps_pairs, z_gates=None, cbs=None,
+                         lam_pair=None):
+    """r_hi ~= (rhs) - A(x) for the variable-coefficient operators on
+    the padded dense layout, evaluated in double-float pair arithmetic
+    (~2^-47 relative — f64-class, see the section comment):
+
+        A(x) = -lam*x + sum_d [ c_lo*(x_lo - x) + c_hi*(x_hi - x) ],
+        c = 2*e0*e_nbr/(e0 + e_nbr) * idr2[d]
+
+    (kernels._apply_expr's harmonic-mean form, m_vlaplacian.f90:84-128;
+    ahelmholtz uses eps_pairs[d] per dim, m_ahelmholtz.f90:69-162 with
+    the reference's :145 index bug fixed as everywhere in this repo).
+    eps_pairs: tuple of (eps_hi, eps_lo) padded pairs, length cfg.n_eps;
+    eps ghosts are the Neumann-zero mirror (= own value, exact).
+    Pure-XLA whole-array evaluation (fuses into one elementwise chain).
+    """
+    assert df32_vcoeff_ok(cfg), "residual_df32_vcoeff outside its gate"
+    if cbs is None:
+        cbs = _cb_pairs(cfg)
+    g = dk._full_iotas(cfg)
+    masks = dk._face_masks(cfg, g, z_gates)
+    interpret = True
+    x = (xhi, xlo)
+    acc = (rhshi, rhslo)
+    for d, axis in ((0, 2), (1, 1), (2, 0)):
+        e0 = eps_pairs[0 if cfg.n_eps == 1 else d]
+        elo = (dk._roll(e0[0], +1, axis, interpret),
+               dk._roll(e0[1], +1, axis, interpret))
+        ehi = (dk._roll(e0[0], -1, axis, interpret),
+               dk._roll(e0[1], -1, axis, interpret))
+        vlo = (dk._roll(xhi, +1, axis, interpret),
+               dk._roll(xlo, +1, axis, interpret))
+        vhi = (dk._roll(xhi, -1, axis, interpret),
+               dk._roll(xlo, -1, axis, interpret))
+        if masks[d] is not None:
+            m_lo, m_hi = masks[d]
+            # eps: Neumann-zero mirror (ghost = own value — exact)
+            elo = (jnp.where(m_lo, e0[0], elo[0]),
+                   jnp.where(m_lo, e0[1], elo[1]))
+            ehi = (jnp.where(m_hi, e0[0], ehi[0]),
+                   jnp.where(m_hi, e0[1], ehi[1]))
+            # phi: full bc_to_gc synthesis as a pair
+            gl = _ghost_pair(xhi, xlo, vhi[0], vhi[1], cfg.bc[2 * d],
+                             cbs[2 * d])
+            gh = _ghost_pair(xhi, xlo, vlo[0], vlo[1], cfg.bc[2 * d + 1],
+                             cbs[2 * d + 1])
+            vlo = (jnp.where(m_lo, gl[0], vlo[0]),
+                   jnp.where(m_lo, gl[1], vlo[1]))
+            vhi = (jnp.where(m_hi, gh[0], vhi[0]),
+                   jnp.where(m_hi, gh[1], vhi[1]))
+        for enb, v in ((elo, vlo), (ehi, vhi)):
+            c = df_div(df_mul(e0, enb), df_add(e0, enb))
+            c = df_scale_pow2(c, 2.0 * cfg.idr2[d])
+            acc = df_sub(acc, df_mul(c, df_sub(v, x)))
+    if lam_pair is not None:
+        acc = df_add(acc, df_mul(x, lam_pair))
+    return acc[0]
+
+
+# ---------------------------------------------------------------------------
 # double-float refinement-boundary ghost synthesis (forest/AMR trees)
 # ---------------------------------------------------------------------------
 

@@ -30,7 +30,9 @@ from jax import lax
 
 from ..ops import dense_kernels as dk
 from ..ops.df32 import (_cb_pairs, accumulate_df32, df32_ok,
-                        residual_df32, residual_df32_dense, split_lam)
+                        df32_vcoeff_ok, residual_df32,
+                        residual_df32_dense, residual_df32_vcoeff,
+                        split_f64, split_lam)
 from .dense import DenseMGSolver, _ISL
 
 
@@ -50,12 +52,13 @@ class RefinedPoisson:
 
     def __init__(self, solver: DenseMGSolver, nch: Optional[int] = None,
                  bc_values: Optional[List[float]] = None,
-                 lam: float = 0.0):
+                 lam: float = 0.0, eps=None):
         self.solver = solver
         self.lam = float(lam)
         self.lam_pair = split_lam(lam)
-        if self.lam != 0.0 and solver.cfg.operator != "helmholtz":
-            raise ValueError("lam != 0 needs an operator='helmholtz' "
+        if self.lam != 0.0 and solver.cfg.operator not in (
+                "helmholtz", "vhelmholtz", "ahelmholtz"):
+            raise ValueError("lam != 0 needs a helmholtz-family "
                              "inner solver (got %r)" % solver.cfg.operator)
         top = solver.levels[-1]
         self.top = top
@@ -64,7 +67,23 @@ class RefinedPoisson:
             raise ValueError("RefinedPoisson refines an f32 inner "
                              "solver (build with MGConfig(dtype="
                              "jnp.float32)); got %s" % cfg.dtype)
-        assert df32_ok(cfg), "rhs/operator outside the df32 gate"
+        self.n_eps = int(cfg.n_eps)
+        if self.n_eps:
+            # variable-coefficient operators: double-float pair
+            # arithmetic (~2^-47 relative — f64-class but not
+            # error-free; ops.df32 section comment)
+            assert df32_vcoeff_ok(cfg), ("rhs/operator outside the "
+                                         "df32 vcoeff gate")
+            if eps is None:
+                raise ValueError(
+                    "variable-coefficient refinement needs the f64 "
+                    "coefficient fields: eps=[interior f64 array] * "
+                    "n_eps (the driver splits them into df pairs and "
+                    "installs the hi parts on the inner solver)")
+        else:
+            assert df32_ok(cfg), "rhs/operator outside the df32 gate"
+            assert eps is None, "eps= given for a constant-coeff solver"
+        self._eps64 = eps
         # Refinement solves the error equation, which is HOMOGENEOUS:
         # the inner FMG must carry b = 0 on every face (else each outer
         # pass re-adds the boundary offset and the loop stalls at the
@@ -92,6 +111,27 @@ class RefinedPoisson:
             periodic=cfg.periodic, dtype=cfg.dtype, b_const=cfg.b_const,
             interpret=cfg.interpret, n_eps=0) if nch > 1 else cfg
         self.pshape = dk.padded_shape(solver.dims[top])
+        self._eps_pairs = ()
+        if self.n_eps:
+            import numpy as np
+            assert len(eps) == self.n_eps, (len(eps), self.n_eps)
+            pairs = []
+            for a in eps:
+                hi, lo = split_f64(np.asarray(a, np.float64))
+                pairs.append((solver._sync_pads(self.pad(hi), top),
+                              solver._sync_pads(self.pad(lo), top)))
+            self._eps_pairs = tuple(pairs)
+
+    def _residual_padded(self, xhi, xlo, rhshi_p, rhslo_p, eps_pairs):
+        """Padded df residual: the error-free Mosaic/XLA kernel for
+        constant coefficients, double-float pair arithmetic for the
+        variable-coefficient operators."""
+        if self.n_eps:
+            return residual_df32_vcoeff(self.cfg, xhi, xlo, rhshi_p,
+                                        rhslo_p, eps_pairs, cbs=self.cbs,
+                                        lam_pair=self.lam_pair)
+        return residual_df32_dense(self.cfg, xhi, xlo, rhshi_p, rhslo_p,
+                                   cbs=self.cbs, lam_pair=self.lam_pair)
 
     def pad(self, v):
         return jnp.zeros(self.pshape, jnp.float32).at[_ISL].set(
@@ -160,13 +200,12 @@ class RefinedPoisson:
         solver, top = self.solver, self.top
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def f(xhi, xlo, e32, rhshi_p, rhslo_p):
+        def f(xhi, xlo, e32, rhshi_p, rhslo_p, eps_pairs):
             xhi, xlo = accumulate_df32(xhi, xlo, e32)
             xhi = solver._sync_pads(xhi, top)
             xlo = solver._sync_pads(xlo, top)
-            rp = residual_df32_dense(self.cfg, xhi, xlo, rhshi_p,
-                                     rhslo_p, cbs=self.cbs,
-                                     lam_pair=self.lam_pair)
+            rp = self._residual_padded(xhi, xlo, rhshi_p, rhslo_p,
+                                       eps_pairs)
             mx = jnp.max(jnp.abs(rp[_ISL]))
             return xhi, xlo, rp, mx
         return f
@@ -194,14 +233,13 @@ class RefinedPoisson:
         lam_a = solver._lam(self.lam)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def f(state, xhi, xlo, rhshi_p, rhslo_p):
+        def f(state, xhi, xlo, rhshi_p, rhslo_p, eps_pairs):
             e32 = state["phi"][top]
             xhi, xlo = accumulate_df32(xhi, xlo, e32)
             xhi = solver._sync_pads(xhi, top)
             xlo = solver._sync_pads(xlo, top)
-            rp = residual_df32_dense(self.cfg, xhi, xlo, rhshi_p,
-                                     rhslo_p, cbs=self.cbs,
-                                     lam_pair=self.lam_pair)
+            rp = self._residual_padded(xhi, xlo, rhshi_p, rhslo_p,
+                                       eps_pairs)
             mx = jnp.max(jnp.abs(rp[_ISL]))
             state = solver._set(state, "rhs", top, rp)
             state, _ = solver._fmg(state, lam_a, have_guess=False,
@@ -220,6 +258,16 @@ class RefinedPoisson:
         tunnel for more than the step itself costs (probe_refine_step:
         18.7 ms/step amortized vs ~43 ms with per-outer syncs)."""
         solver, top = self.solver, self.top
+        if self.n_eps:
+            # install the coefficient hi parts on the inner solver so
+            # the preconditioner matches the outer operator, and
+            # rebuild the coarse coefficient chain
+            state = dict(state)
+            for i, (ph, _pl) in enumerate(self._eps_pairs):
+                state = solver.set_interior(state, top, f"eps{i}",
+                                            ph[_ISL])
+            state = solver.prepare_coefficient(state)
+            solver._direct = None  # coarse matrix depends on eps
         solver._ensure_direct(state)
         xhi = self._zeros_padded()
         xlo = self._zeros_padded()
@@ -233,14 +281,15 @@ class RefinedPoisson:
                                 jnp.zeros_like(state["phi"][top]))
             for i in range(n_outer):
                 state, xhi, xlo, mx = self._jit_outer(
-                    state, xhi, xlo, rhshi_p, rhslo_p)
+                    state, xhi, xlo, rhshi_p, rhslo_p, self._eps_pairs)
                 norms_dev.append(mx)
                 if rtol:  # early exit requested: sync each outer
                     if float(mx) <= rtol * float(norms_dev[0]):
                         break
             # closing norm: accumulate last correction + residual only
             xhi, xlo, rhs_new, mx = self._jit_step(
-                xhi, xlo, state["phi"][top], rhshi_p, rhslo_p)
+                xhi, xlo, state["phi"][top], rhshi_p, rhslo_p,
+                self._eps_pairs)
             state["rhs"][top] = rhs_new
             norms_dev.append(mx)
             norms = [float(m) for m in norms_dev]
@@ -250,7 +299,7 @@ class RefinedPoisson:
         e32 = self._zeros_padded()
         for i in range(n_outer + 1):
             xhi, xlo, rhs_new, mx = self._jit_step(
-                xhi, xlo, e32, rhshi_p, rhslo_p)
+                xhi, xlo, e32, rhshi_p, rhslo_p, self._eps_pairs)
             state["rhs"][top] = rhs_new
             norms_dev.append(mx)
             if i == n_outer:
@@ -272,7 +321,9 @@ class RefinedPoisson:
         solver, top = self.solver, self.top
         rhshi_p = self.pad(rhs_hi)
         rhslo_p = self.pad(rhs_lo)
-        if self.cfg.use_kernel:
+        if self.cfg.use_kernel or self.n_eps:
+            # vcoeff always fuses: its residual is pure XLA, kernel or
+            # not, and the fused outer carries the eps pairs as args
             return self._solve_fused(state, rhshi_p, rhslo_p, n_outer,
                                      rtol)
         xhi = jnp.zeros(self.pshape, jnp.float32)
@@ -369,7 +420,8 @@ class ShardedRefinedPoisson(RefinedPoisson):
 
         sp = P(AXIS)
 
-        def run(xhi, xlo, e32, rhi, rlo):
+        def run(xhi, xlo, e32, rhi, rlo, eps_pairs):
+            del eps_pairs  # vcoeff is outside the sharded refined gate
             f = jax.shard_map(local, mesh=solver.mesh,
                               in_specs=(sp,) * 5,
                               out_specs=(sp, sp, sp, P()),
@@ -469,7 +521,7 @@ def solve_refined(solver: DenseMGSolver, state, rhs_hi, rhs_lo,
                   n_outer: int = 8, rtol: float = 0.0,
                   nch: Optional[int] = None,
                   bc_values: Optional[List[float]] = None,
-                  lam: float = 0.0):
+                  lam: float = 0.0, eps=None):
     """One-shot convenience wrapper: picks the forest/AMR, sharded,
     2D, or plain refinement driver by solver type.  lam != 0 =
     f64-class Helmholtz (operator='helmholtz' inner solver).  For
@@ -493,7 +545,7 @@ def solve_refined(solver: DenseMGSolver, state, rhs_hi, rhs_lo,
     if isinstance(solver, DenseForestMGSolver):
         from .refine_forest import RefinedForestPoisson
         return RefinedForestPoisson(solver, bc_values=bc_values,
-                                    lam=lam).solve(
+                                    lam=lam, eps=eps).solve(
             state, rhs_hi, rhs_lo, n_outer=n_outer, rtol=rtol)
     if isinstance(solver, ShardedDenseMGSolver):
         return ShardedRefinedPoisson(solver, bc_values=bc_values,
@@ -504,5 +556,5 @@ def solve_refined(solver: DenseMGSolver, state, rhs_hi, rhs_lo,
                                 lam=lam).solve(
             state, rhs_hi, rhs_lo, n_outer=n_outer, rtol=rtol)
     return RefinedPoisson(solver, nch=nch, bc_values=bc_values,
-                          lam=lam).solve(
+                          lam=lam, eps=eps).solve(
         state, rhs_hi, rhs_lo, n_outer=n_outer, rtol=rtol)

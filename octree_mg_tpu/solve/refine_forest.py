@@ -43,9 +43,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.df32 import (_OK_C, _is_pow2, accumulate_df32, fast_two_sum,
-                        interp_rb_strip_df, split_f64, split_lam,
-                        two_prod, two_sum)
+from ..ops.df32 import (_OK_C, _is_pow2, accumulate_df32, df_add,
+                        df_div, df_mul, df_scale_pow2, df_sub,
+                        fast_two_sum, interp_rb_strip_df, split_f64,
+                        split_lam, two_prod, two_sum)
 from .dense import _ISL
 from .dense_forest import DenseForestMGSolver
 
@@ -60,7 +61,8 @@ class RefinedForestPoisson:
 
     def __init__(self, solver: DenseForestMGSolver,
                  bc_values: Optional[List[float]] = None,
-                 lam: float = 0.0, inner_ghost_refresh: str = "half"):
+                 lam: float = 0.0, inner_ghost_refresh: str = "half",
+                 eps=None):
         assert isinstance(solver, DenseForestMGSolver), solver
         # "pair": relaxed inner-smoother cadence (one fused Mosaic pass
         # per red+black pair, DenseForestMGSolver._smooth_pairs) — the
@@ -78,22 +80,36 @@ class RefinedForestPoisson:
         if solver.cfg.dtype != jnp.float32:
             raise ValueError("refines an f32 inner solver; got %s"
                              % solver.cfg.dtype)
-        if solver.n_eps:
-            raise ValueError("constant-coefficient operators only")
+        self.n_eps = int(solver.n_eps)
+        if self.n_eps and eps is None:
+            raise ValueError(
+                "variable-coefficient forest refinement needs the f64 "
+                "coefficient fields: eps={lvl: [interior f64 canvas] * "
+                "n_eps} (per level; the hi parts are installed on the "
+                "inner solver)")
+        if not self.n_eps and eps is not None:
+            raise ValueError("eps= given for a constant-coeff solver")
         if solver.subtract_mean:
             raise ValueError("fully-periodic (subtract-mean) trees are "
                              "outside the refined gate")
         self.lam = float(lam)
         self.lam_pair = split_lam(lam)
-        if self.lam != 0.0 and solver.cfg.operator != "helmholtz":
-            raise ValueError("lam != 0 needs operator='helmholtz'")
+        if self.lam != 0.0 and solver.cfg.operator not in (
+                "helmholtz", "vhelmholtz", "ahelmholtz"):
+            raise ValueError("lam != 0 needs a helmholtz-family solver")
         #: per-level (c0*b)_hi/lo pairs for the physical faces; the
         #: inner solver must be HOMOGENEOUS (the refinement lesson:
         #: nonzero inner b re-adds the boundary offset every outer)
         self.cbs: Dict[int, List] = {}
         for lvl in solver.levels:
             cfg = solver._kcfgs[lvl]
-            if len(set(cfg.idr2)) != 1 or not _is_pow2(cfg.idr2[0]):
+            if self.n_eps:
+                # vcoeff: per-dim power-of-two (the 2*idr2 coefficient
+                # scale stays exact; dims need not be equal)
+                if not all(_is_pow2(v) for v in cfg.idr2):
+                    raise ValueError("1/dx^2 must be powers of two "
+                                     "(lvl %d: %r)" % (lvl, cfg.idr2))
+            elif len(set(cfg.idr2)) != 1 or not _is_pow2(cfg.idr2[0]):
                 raise ValueError("1/dx^2 must be an equal power of two "
                                  "per level (lvl %d: %r)"
                                  % (lvl, cfg.idr2))
@@ -129,16 +145,40 @@ class RefinedForestPoisson:
             self.leaf_mask[lvl] = jnp.asarray(m)
         self.n_leaf_cells = int(sum(np.asarray(m).sum()
                                     for m in self.leaf_mask.values()))
+        #: {"eps{i}": {lvl: (hi, lo) padded canvas pair}} — the
+        #: variable coefficients of the composite operator, fixed
+        #: across outers (per-level values are authoritative: the test
+        #: derives coarse levels by f64 restriction, matching the
+        #: reference's f64 prepare; the hi parts become the inner
+        #: solver's f32 coefficients in ``solve``)
+        self._eps_df = {}
+        if self.n_eps:
+            for i in range(self.n_eps):
+                per = {}
+                for lvl in solver.levels:
+                    hi, lo = split_f64(np.asarray(eps[lvl][i],
+                                                  np.float64))
+                    shape = solver._pshape(solver.dims[lvl])
+                    per[lvl] = (
+                        jnp.zeros(shape, jnp.float32).at[_ISL].set(
+                            jnp.asarray(hi)),
+                        jnp.zeros(shape, jnp.float32).at[_ISL].set(
+                            jnp.asarray(lo)))
+                self._eps_df[f"eps{i}"] = per
 
     # ------------------------------------------------------------------
     # double-float ghost synthesis per segment
     # ------------------------------------------------------------------
-    def _ghost_df(self, lvl, seg, xh, xl, bdf, i):
+    def _ghost_df(self, lvl, seg, xh, xl, bdf, i, is_eps=False):
         """(g_hi, g_lo) pair for one ghost segment, expanded to its 3D
         rect shape.  Same coefficient arithmetic as the f32 path
         (_ring_values / _face_planes) but with every sum a TwoSum and
         every product an exact power-of-two multiply; synthesis errors
-        fold into the lo channel (~2^-48 class)."""
+        fold into the lo channel (~2^-48 class).
+
+        is_eps: coefficient-field semantics — physical faces take the
+        Neumann-zero copy (ghost = own value, m_vlaplacian.f90:25-28);
+        rb faces and wraps behave like phi."""
         sv = self.s
         d = seg.nb // 2
         ax = 2 - d
@@ -151,6 +191,10 @@ class RefinedForestPoisson:
             return xh[sl], xl[sl]
         x1h, x2h = sv._seg_x12(xh, seg)
         x1l, x2l = sv._seg_x12(xl, seg)
+        if is_eps and seg.kind != "rb":
+            # phys face: exact copy of the boundary cell pair
+            return (jnp.expand_dims(1.0 * x1h, ax),
+                    jnp.expand_dims(1.0 * x1l, ax))
         if seg.kind == "rb":
             bh, bl = bdf[i]
             # 0.5*b + 0.75*x1 - 0.25*x2 with 0.75 = 0.5 + 0.25
@@ -171,19 +215,21 @@ class RefinedForestPoisson:
             gl = gl + ge
         return jnp.expand_dims(g, ax), jnp.expand_dims(gl, ax)
 
-    def _ext_df(self, X, lvl, memo, prefer=None):
+    def _ext_df(self, X, lvl, memo, prefer=None, tag="phi"):
         """[Z+2, Y+2, X+2] double-float canvas with ALL ghosts
         materialized (the df rendering of DenseForestMGSolver._ext);
         ``prefer``: axis whose ring segments write last at conflicted
-        concave-corner cells."""
-        key = ("ext", lvl, prefer)
+        concave-corner cells.  ``tag``: "phi" or a coefficient field
+        ("eps{i}" — Neumann-zero phys ghosts, same rb/wrap handling)."""
+        key = ("ext", tag, lvl, prefer)
         if key in memo:
             return memo[key]
         sv = self.s
         xh, xl = X[lvl]
         X_, Y_, Z_ = sv.dims[lvl]
         dt = jnp.float32
-        bdf = self._bdf(X, lvl, memo)
+        bdf = self._bdf(X, lvl, memo, tag)
+        is_eps = tag != "phi"
         eh = jnp.zeros((Z_ + 2, Y_ + 2, X_ + 2), dt)
         el = jnp.zeros((Z_ + 2, Y_ + 2, X_ + 2), dt)
         eh = eh.at[(slice(1, -1),) * 3].set(xh[_ISL])
@@ -193,7 +239,7 @@ class RefinedForestPoisson:
             items.sort(key=lambda t: (t[1].sink == "ring"
                                       and t[1].nb // 2 == prefer))
         for i, seg in items:
-            gh, gl = self._ghost_df(lvl, seg, xh, xl, bdf, i)
+            gh, gl = self._ghost_df(lvl, seg, xh, xl, bdf, i, is_eps)
             sl = tuple(slice(1 + int(seg.lo[dd]), 1 + int(seg.hi[dd]))
                        for dd in (2, 1, 0))
             eh = eh.at[sl].set(gh)
@@ -201,11 +247,11 @@ class RefinedForestPoisson:
         memo[key] = (eh, el)
         return memo[key]
 
-    def _bdf(self, X, lvl, memo):
+    def _bdf(self, X, lvl, memo, tag="phi"):
         """{seg index: (b_hi, b_lo)} coarse-interp planes for the rb
         segments of lvl (df rendering of _rb_cache, with the same
         per-axis strip-end patching at conflicted coarse levels)."""
-        key = ("bdf", lvl)
+        key = ("bdf", tag, lvl)
         if key in memo:
             return memo[key]
         sv = self.s
@@ -215,11 +261,12 @@ class RefinedForestPoisson:
             return memo[key]
         need = sv.conflicts.get(lvl - 1) is not None
         if need:
-            ext_ax = {a: self._ext_df(X, lvl - 1, memo, prefer=a)
+            ext_ax = {a: self._ext_df(X, lvl - 1, memo, prefer=a,
+                                      tag=tag)
                       for a in range(3)}
             exth, extl = ext_ax[0]
         else:
-            exth, extl = self._ext_df(X, lvl - 1, memo)
+            exth, extl = self._ext_df(X, lvl - 1, memo, tag=tag)
         off_c = sv.offsets[lvl - 1]
         off_f = sv.offsets[lvl]
         out = {}
@@ -285,6 +332,10 @@ class RefinedForestPoisson:
             sl[2 - d] = slice(1 + step, arr.shape[2 - d] - 1 + step)
             return arr[tuple(sl)]
 
+        if self.n_eps:
+            return self._residual_df_vcoeff(X, RHSh, RHSl, lvl, memo,
+                                            cfg, exts, shifted)
+
         ch = xh[_ISL]
         cl = xl[_ISL]
         s = RHSh[lvl][_ISL]
@@ -312,6 +363,47 @@ class RefinedForestPoisson:
             comp = comp + (e + pe) + (lam_h * cl + lam_l * ch)
         r_hi, _ = two_sum(s, comp)
         return jnp.zeros_like(xh).at[_ISL].set(r_hi)
+
+    def _residual_df_vcoeff(self, X, RHSh, RHSl, lvl, memo, cfg, exts,
+                            shifted):
+        """Variable-coefficient composite residual in double-float PAIR
+        arithmetic (~2^-47 relative; ops.df32 pair-op section):
+
+            r = rhs - sum_d sum_side c*(v - x) + lam*x,
+            c = 2*e0*e_nbr/(e0+e_nbr) * idr2[d]
+
+        — the harmonic-mean form of kernels._apply_expr
+        (m_vlaplacian.f90:84-128, m_ahelmholtz.f90:69-162) with phi AND
+        eps neighbor reads taken from materialized df ext pairs (eps rb
+        ghosts ride the same coarse-strip interpolation as phi,
+        _ring_values; phys faces the Neumann-zero copy)."""
+        sv = self.s
+        xh, xl = X[lvl]
+        x = (xh[_ISL], xl[_ISL])
+        acc = (RHSh[lvl][_ISL], RHSl[lvl][_ISL])
+        exts_e = []
+        for i in range(self.n_eps):
+            tag = f"eps{i}"
+            F = self._eps_df[tag]  # all levels: _bdf recurses coarser
+            if sv.conflicts.get(lvl) is None:
+                e0 = self._ext_df(F, lvl, memo, tag=tag)
+                exts_e.append([e0, e0, e0])
+            else:
+                exts_e.append([self._ext_df(F, lvl, memo, prefer=a,
+                                            tag=tag) for a in range(3)])
+        for d in range(3):
+            ph_, pl_ = exts[d]
+            eeh, eel = exts_e[0 if self.n_eps == 1 else d][d]
+            e0 = (eeh[(slice(1, -1),) * 3], eel[(slice(1, -1),) * 3])
+            for step in (-1, +1):
+                v = (shifted(ph_, d, step), shifted(pl_, d, step))
+                enb = (shifted(eeh, d, step), shifted(eel, d, step))
+                c = df_div(df_mul(e0, enb), df_add(e0, enb))
+                c = df_scale_pow2(c, 2.0 * cfg.idr2[d])
+                acc = df_sub(acc, df_mul(c, df_sub(v, x)))
+        if self.lam_pair is not None:
+            acc = df_add(acc, df_mul(x, self.lam_pair))
+        return jnp.zeros_like(xh).at[_ISL].set(acc[0])
 
     # ------------------------------------------------------------------
     # double-float restriction (exact 8-cell average)
@@ -441,6 +533,15 @@ class RefinedForestPoisson:
 
     def _solve(self, state, rhs_hi, rhs_lo, n_outer, rtol):
         sv = self.s
+        if self.n_eps:
+            # install the coefficient hi parts on the inner solver (all
+            # levels explicit — the per-level eps are authoritative)
+            for i in range(self.n_eps):
+                tag = f"eps{i}"
+                for lvl in sv.levels:
+                    state = sv.set_interior(
+                        state, lvl, tag, self._eps_df[tag][lvl][0][_ISL])
+            sv._direct = None  # coarse matrix depends on eps
         X = {}
         RHSh, RHSl = {}, {}
         for lvl in sv.levels:

@@ -477,3 +477,67 @@ def test_solve_refined_2d_reaches_f64_class():
         cfg64, jnp.asarray(x64), jnp.asarray(rhs64),
         jnp.zeros((1, 1), jnp.float64), [None] * 4, residual=True))
     assert np.max(np.abs(r64)) <= 1e-8 * norms[0]
+
+
+@pytest.mark.parametrize("operator,lam,neps", [
+    ("vlaplacian", 0.0, 1),
+    ("vhelmholtz", 0.53, 1),
+    ("ahelmholtz", 0.31, 3),
+])
+def test_solve_refined_vcoeff_f64_class(operator, lam, neps):
+    """Variable-coefficient refinement (df pair arithmetic: exact
+    TwoProduct eps products, Dekker div2 harmonic means — ~2^-47, not
+    error-free but f64-class; VERDICT r4 item 3).  Validated against
+    the independent f64 operator: relative leaf residual well under
+    the 1e-9 target (the reference is f64 for all five operators,
+    m_data_structures.f90:8, m_vlaplacian.f90:84-128)."""
+    size = 16
+    dsz = np.full(3, size)
+    tree = build_rectangle(3, dsz, 8, 1.0 / dsz, np.zeros(3))
+    sv = DenseMGSolver(tree, MGConfig(operator=operator,
+                                      dtype=jnp.float32))
+    sv.set_bc(0, BCType.DIRICHLET, 0.0)
+    st = sv.allocate()
+    rng = np.random.default_rng(3)
+    rhs64 = rng.normal(size=(size,) * 3)
+    eps64 = [0.5 + rng.random((size,) * 3) for _ in range(neps)]
+    rhi, rlo = split_f64(rhs64)
+    xhi, xlo, norms, st = solve_refined(sv, st, rhi, rlo, n_outer=10,
+                                        lam=lam, eps=eps64)
+    assert norms[-1] <= 1e-10 * norms[0], norms
+    # independent f64 ground truth
+    sv6 = DenseMGSolver(tree, MGConfig(operator=operator,
+                                       dtype=jnp.float64))
+    sv6.set_bc(0, BCType.DIRICHLET, 0.0)
+    st6 = sv6.allocate()
+    x64 = np.asarray(xhi, np.float64) + np.asarray(xlo, np.float64)
+    top = sv6.levels[-1]
+    st6 = sv6.set_interior(st6, top, "phi", jnp.asarray(x64))
+    st6 = sv6.set_interior(st6, top, "rhs", jnp.asarray(rhs64))
+    for i in range(neps):
+        st6 = sv6.set_interior(st6, top, f"eps{i}",
+                               jnp.asarray(eps64[i]))
+    st6 = sv6.prepare_coefficient(st6)
+    st6 = sv6.apply_operator(st6, lam=lam)
+    r = np.asarray(st6["ires"][top][_ISL])
+    worst = float(np.max(np.abs(rhs64 - r)))
+    assert worst <= 1e-9 * norms[0], (worst, norms)
+
+
+def test_refine_vcoeff_gate_errors():
+    """Clear errors: vcoeff solver without eps=, eps= on a
+    constant-coefficient solver."""
+    from octree_mg_tpu.solve.refine import RefinedPoisson
+    size = 16
+    dsz = np.full(3, size)
+    tree = build_rectangle(3, dsz, 8, 1.0 / dsz, np.zeros(3))
+    sv = DenseMGSolver(tree, MGConfig(operator="vlaplacian",
+                                      dtype=jnp.float32))
+    sv.set_bc(0, BCType.DIRICHLET, 0.0)
+    with pytest.raises(ValueError, match="eps"):
+        RefinedPoisson(sv)
+    sc = DenseMGSolver(tree, MGConfig(operator="laplacian",
+                                      dtype=jnp.float32))
+    sc.set_bc(0, BCType.DIRICHLET, 0.0)
+    with pytest.raises(AssertionError, match="eps"):
+        RefinedPoisson(sc, eps=[np.ones((size,) * 3)])

@@ -163,3 +163,47 @@ def test_refined_forest_gate():
     sv2 = mk_solver("L", dtype=jnp.float64)
     with pytest.raises(ValueError, match="f32"):
         RefinedForestPoisson(sv2)
+
+
+@pytest.mark.parametrize("kind,operator,lam,neps", [
+    ("L", "vlaplacian", 0.0, 1),
+    ("L", "vhelmholtz", 0.41, 1),
+    ("amr3", "ahelmholtz", 0.27, 3),
+])
+def test_refined_forest_vcoeff_f64_class(kind, operator, lam, neps):
+    """Variable-coefficient composite refinement (df pair arithmetic:
+    harmonic-mean face coefficients via Dekker mul2/div2, eps rb ghosts
+    coarse-interpolated like phi — VERDICT r4 item 3).  The independent
+    f64 forest solver (given the same per-level eps) confirms the leaf
+    residual well under the 1e-9-relative target."""
+    sv = mk_solver(kind, operator)
+    rng = np.random.default_rng(5)
+    rhs64, eps64 = {}, {}
+    for lvl in sv.levels:
+        X, Y, Z = sv.dims[lvl]
+        rhs64[lvl] = rng.normal(size=(Z, Y, X))
+        eps64[lvl] = [0.5 + rng.random((Z, Y, X)) for _ in range(neps)]
+    ref = RefinedForestPoisson(sv, lam=lam, eps=eps64)
+    st = sv.allocate()
+    rh = {l: split_f64(rhs64[l])[0] for l in sv.levels}
+    rl = {l: split_f64(rhs64[l])[1] for l in sv.levels}
+    x_pairs, norms, st = ref.solve(st, rh, rl, n_outer=10)
+    assert norms[-1] <= 1e-10 * norms[0], norms
+    sv6 = mk_solver(kind, operator, dtype=jnp.float64)
+    st6 = sv6.allocate()
+    for lvl in sv6.levels:
+        xh, xl = x_pairs[lvl]
+        x64 = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+        st6 = sv6.set_interior(st6, lvl, "phi", jnp.asarray(x64))
+        st6 = sv6.set_interior(st6, lvl, "rhs", jnp.asarray(rhs64[lvl]))
+        for i in range(neps):
+            st6 = sv6.set_interior(st6, lvl, f"eps{i}",
+                                   jnp.asarray(eps64[lvl][i]))
+    lam_a = sv6._lam(lam)
+    worst = 0.0
+    for lvl in sv6.levels:
+        st6 = sv6._residual(st6, lvl, lam_a)
+        r = np.asarray(st6["ires"][lvl][_ISL])
+        worst = max(worst, float(np.max(np.abs(
+            r * np.asarray(ref.leaf_mask[lvl])))))
+    assert worst <= 1e-9 * norms[0], (worst, norms)
