@@ -29,10 +29,17 @@ m_multigrid.f90:369-383).
 
 Works on any tree a DenseForestMGSolver accepts — rectangular 3-level
 AMR trees included (build the forest solver directly on the tree; the
-forest path is bitwise the boxed path per phase).  Gating: f32
-constant-coefficient laplacian/helmholtz, power-of-two 1/dx², exact BC
-coefficient classes, constant homogeneous boundary values on the inner
-solver (true values via ``bc_values``), not fully-periodic.
+forest path is bitwise the boxed path per phase).  Gating: f32 inner
+solver, power-of-two 1/dx², exact BC coefficient classes, constant
+homogeneous boundary values on the inner solver (true values via
+``bc_values``), not fully-periodic.  Variable-coefficient operators
+(vlaplacian/vhelmholtz/ahelmholtz) are covered via double-float PAIR
+arithmetic (~2^-47, f64-class though not error-free — ops/df32 pair
+ops) with ``eps={lvl: [f64 canvas] * n_eps}``.
+
+2D quadtree trees ride :class:`RefinedForest2DPoisson` (same design on
+the pure-XLA [Y, X] canvas machinery; den0 = 4/dx² is itself a power of
+two).  ``solve_refined`` routes 2D AMR solvers here transparently.
 """
 from __future__ import annotations
 
@@ -575,4 +582,407 @@ class RefinedForestPoisson:
         norms = [float(m) for m in norms_dev]
         out = {lvl: (X[lvl][0][_ISL], X[lvl][1][_ISL])
                for lvl in sv.levels}
+        return out, norms, state
+
+
+class RefinedForest2DPoisson:
+    """f64-class iterative refinement on 2D quadtree AMR / forest trees
+    — the 2D rendering of :class:`RefinedForestPoisson` on the pure-XLA
+    [Y, X] canvas machinery (solve/dense_forest2d.py).  The reference's
+    2D AMR is f64 like everything else (m_data_structures.f90:8).
+
+    Same exactness structure: all ghost coefficients are sums of powers
+    of two (bc_to_gc triples, sides_rb 0.5/0.75/-0.25, strip ±0.125,
+    full weighting 1/4), so the constant-coefficient composite residual
+    is error-free over the double-float representation; the 2D den0 =
+    4/dx² is itself a power of two (one exact product).  Variable
+    coefficients ride the df pair arithmetic (~2^-47; ops.df32).
+
+    ``solve`` takes/returns per-level [Y, X] canvases (leaf cells
+    meaningful).  Gating mirrors the 3D driver; cylindrical geometry is
+    outside the gate (non-power-of-two radial weights).
+    """
+
+    def __init__(self, solver, bc_values: Optional[List[float]] = None,
+                 lam: float = 0.0, eps=None):
+        from .dense_forest2d import DenseForest2DMGSolver
+        assert isinstance(solver, DenseForest2DMGSolver), solver
+        self.s = solver
+        if solver.cfg.dtype != jnp.float32:
+            raise ValueError("refines an f32 inner solver; got %s"
+                             % solver.cfg.dtype)
+        if solver.cfg.geometry != "cartesian":
+            raise ValueError("cylindrical geometry is outside the df32 "
+                             "gate (non-power-of-two radial weights)")
+        self.n_eps = int(solver.n_eps)
+        if self.n_eps and eps is None:
+            raise ValueError(
+                "variable-coefficient refinement needs eps={lvl: "
+                "[interior f64 canvas] * n_eps}")
+        if not self.n_eps and eps is not None:
+            raise ValueError("eps= given for a constant-coeff solver")
+        if solver.subtract_mean:
+            raise ValueError("fully-periodic (subtract-mean) trees are "
+                             "outside the refined gate")
+        self.lam = float(lam)
+        self.lam_pair = split_lam(lam)
+        if self.lam != 0.0 and solver.cfg.operator not in (
+                "helmholtz", "vhelmholtz", "ahelmholtz"):
+            raise ValueError("lam != 0 needs a helmholtz-family solver")
+        self.cbs: Dict[int, List] = {}
+        for lvl in solver.levels:
+            cfg = solver._kcfgs[lvl]
+            if self.n_eps:
+                if not all(_is_pow2(v) for v in cfg.idr2):
+                    raise ValueError("1/dx^2 must be powers of two "
+                                     "(lvl %d: %r)" % (lvl, cfg.idr2))
+            elif len(set(cfg.idr2)) != 1 or not _is_pow2(cfg.idr2[0]):
+                raise ValueError("1/dx^2 must be an equal power of two "
+                                 "per level (lvl %d: %r)"
+                                 % (lvl, cfg.idr2))
+            bc = solver._bc_static(lvl)
+            row = []
+            for nb in range(4):
+                if bc[nb] is None:
+                    row.append((0.0, 0.0))
+                    continue
+                c0, c1, c2 = bc[nb]
+                if c1 not in _OK_C or c2 not in _OK_C:
+                    raise ValueError("BC coefficient class outside the "
+                                     "exact set (face %d)" % nb)
+                spec = solver.bc_spec[nb]
+                if spec["fn"] is not None:
+                    raise ValueError("constant boundary values only")
+                if float(spec["value"]) != 0.0:
+                    raise ValueError(
+                        "inner solver must be homogeneous (b=0); pass "
+                        "true values via bc_values= (face %d)" % nb)
+                bv = 0.0 if bc_values is None else float(bc_values[nb])
+                hi, lo = split_f64(np.float64(c0) * np.float64(bv))
+                row.append((float(hi), float(lo)))
+            self.cbs[lvl] = row
+        self.leaf_mask = {}
+        for lvl in solver.levels:
+            m = solver.footprint_mask(lvl).copy()
+            if lvl + 1 in solver.levels:
+                for clo, chi in solver._image_rects(lvl + 1):
+                    m[int(clo[1]):int(chi[1]),
+                      int(clo[0]):int(chi[0])] = False
+            self.leaf_mask[lvl] = jnp.asarray(m)
+        self._eps_df = {}
+        if self.n_eps:
+            for i in range(self.n_eps):
+                per = {}
+                for lvl in solver.levels:
+                    hi, lo = split_f64(np.asarray(eps[lvl][i],
+                                                  np.float64))
+                    per[lvl] = (jnp.asarray(hi), jnp.asarray(lo))
+                self._eps_df[f"eps{i}"] = per
+
+    # ------------------------------------------------------------------
+    # double-float ghost synthesis / ext materialization (2D)
+    # ------------------------------------------------------------------
+    def _ghost_df(self, lvl, seg, xh, xl, bdf, i, is_eps=False):
+        sv = self.s
+        d = seg.nb // 2
+        ax = 1 - d
+        if seg.kind == "wrap":
+            lo = seg.lo.copy()
+            hi = seg.hi.copy()
+            lo[d] = seg.src
+            hi[d] = seg.src + 1
+            sl = sv._cansl(lo, hi)
+            return xh[sl], xl[sl]
+        x1h, x2h = sv._seg_x12(xh, seg)
+        x1l, x2l = sv._seg_x12(xl, seg)
+        if is_eps and seg.kind != "rb":
+            return (jnp.expand_dims(1.0 * x1h, ax),
+                    jnp.expand_dims(1.0 * x1l, ax))
+        if seg.kind == "rb":
+            bh, bl = bdf[i]
+            g, e1 = two_sum(0.5 * bh, 0.5 * x1h)
+            g, e2 = two_sum(g, 0.25 * x1h)
+            g, e3 = two_sum(g, -(0.25 * x2h))
+            gl = (0.5 * bl + (0.5 * x1l + 0.25 * x1l) - 0.25 * x2l) \
+                + ((e1 + e2) + e3)
+        else:
+            c0, c1, c2 = sv._bc_static(lvl)[seg.nb]
+            cbh, cbl = self.cbs[lvl][seg.nb]
+            g, ge = two_sum(c1 * x1h, cbh)  # traced first (two_sum)
+            gl = c1 * x1l + cbl
+            if c2 != 0.0:
+                g, e2 = two_sum(g, c2 * x2h)
+                ge = ge + e2
+                gl = gl + c2 * x2l
+            gl = gl + ge
+        return jnp.expand_dims(g, ax), jnp.expand_dims(gl, ax)
+
+    def _ext_df(self, X, lvl, memo, prefer=None, tag="phi"):
+        """[Y+2, X+2] df canvas pair with ALL ghosts materialized."""
+        key = ("ext", tag, lvl, prefer)
+        if key in memo:
+            return memo[key]
+        sv = self.s
+        xh, xl = X[lvl]
+        X_, Y_ = sv.dims[lvl]
+        bdf = self._bdf(X, lvl, memo, tag)
+        is_eps = tag != "phi"
+        eh = jnp.zeros((Y_ + 2, X_ + 2), jnp.float32)
+        el = jnp.zeros((Y_ + 2, X_ + 2), jnp.float32)
+        eh = eh.at[1:-1, 1:-1].set(xh)
+        el = el.at[1:-1, 1:-1].set(xl)
+        items = list(enumerate(sv.segs[lvl]))
+        if prefer is not None:
+            items.sort(key=lambda t: (t[1].sink == "ring"
+                                      and t[1].nb // 2 == prefer))
+        for i, seg in items:
+            gh, gl = self._ghost_df(lvl, seg, xh, xl, bdf, i, is_eps)
+            sl = tuple(slice(1 + int(seg.lo[dd]), 1 + int(seg.hi[dd]))
+                       for dd in (1, 0))
+            eh = eh.at[sl].set(gh)
+            el = el.at[sl].set(gl)
+        memo[key] = (eh, el)
+        return memo[key]
+
+    def _bdf(self, X, lvl, memo, tag="phi"):
+        key = ("bdf", tag, lvl)
+        if key in memo:
+            return memo[key]
+        sv = self.s
+        segs_rb = [s for s in sv.segs[lvl] if s.kind == "rb"]
+        if not segs_rb:
+            memo[key] = {}
+            return memo[key]
+        uc = sv._coarse_of(lvl)
+        need = bool(sv.conflicted.get(uc))
+        if need:
+            ext_ax = {a: self._ext_df(X, uc, memo, prefer=a, tag=tag)
+                      for a in range(2)}
+            exth, extl = ext_ax[0]
+        else:
+            exth, extl = self._ext_df(X, uc, memo, tag=tag)
+        off_c = sv.offsets[uc]
+        off_f = sv.offsets[lvl]
+        out = {}
+        for i, seg in enumerate(sv.segs[lvl]):
+            if seg.kind != "rb":
+                continue
+            d = seg.nb // 2
+            td = 1 - d
+            sl: List = [0, 0]
+            sl[1 - d] = seg.cg - int(off_c[d]) + 1
+            c0 = (int(off_f[td]) + int(seg.lo[td])) // 2 - int(off_c[td])
+            c1 = (int(off_f[td]) + int(seg.hi[td])) // 2 - int(off_c[td])
+            sl[1 - td] = slice(c0, c1 + 2)
+            th, tl = exth[tuple(sl)], extl[tuple(sl)]
+            if need:
+                hh, hl = ext_ax[td]
+                th = th.at[0].set(hh[tuple(sl)][0]).at[-1].set(
+                    hh[tuple(sl)][-1])
+                tl = tl.at[0].set(hl[tuple(sl)][0]).at[-1].set(
+                    hl[tuple(sl)][-1])
+            rh, rl = interp_rb_strip_df(th[None], tl[None], 2)
+            out[i] = (rh[0], rl[0])
+        memo[key] = out
+        return memo[key]
+
+    # ------------------------------------------------------------------
+    # double-float residual per level (2D)
+    # ------------------------------------------------------------------
+    def _residual_df(self, X, RHSh, RHSl, lvl, memo):
+        sv = self.s
+        cfg = sv._kcfgs[lvl]
+        idr2 = cfg.idr2[0]
+        xh, xl = X[lvl]
+        if not sv.conflicted.get(lvl):
+            e0 = self._ext_df(X, lvl, memo)
+            exts = [e0, e0]
+        else:
+            exts = [self._ext_df(X, lvl, memo, prefer=a)
+                    for a in range(2)]
+
+        def shifted(arr, d, step):
+            sl = [slice(1, -1)] * 2
+            sl[1 - d] = slice(1 + step, arr.shape[1 - d] - 1 + step)
+            return arr[tuple(sl)]
+
+        if self.n_eps:
+            x = (xh, xl)
+            acc = (RHSh[lvl], RHSl[lvl])
+            exts_e = []
+            for i in range(self.n_eps):
+                tag = f"eps{i}"
+                F = self._eps_df[tag]
+                if not sv.conflicted.get(lvl):
+                    e0 = self._ext_df(F, lvl, memo, tag=tag)
+                    exts_e.append([e0, e0])
+                else:
+                    exts_e.append([self._ext_df(F, lvl, memo, prefer=a,
+                                                tag=tag)
+                                   for a in range(2)])
+            for d in range(2):
+                ph_, pl_ = exts[d]
+                eeh, eel = exts_e[0 if self.n_eps == 1 else d][d]
+                e0 = (eeh[1:-1, 1:-1], eel[1:-1, 1:-1])
+                for step in (-1, +1):
+                    v = (shifted(ph_, d, step), shifted(pl_, d, step))
+                    enb = (shifted(eeh, d, step), shifted(eel, d, step))
+                    c = df_div(df_mul(e0, enb), df_add(e0, enb))
+                    c = df_scale_pow2(c, 2.0 * cfg.idr2[d])
+                    acc = df_sub(acc, df_mul(c, df_sub(v, x)))
+            if self.lam_pair is not None:
+                acc = df_add(acc, df_mul(x, self.lam_pair))
+            return acc[0]
+
+        ch, cl = xh, xl
+        s = RHSh[lvl]
+        comp = jnp.zeros_like(ch)
+        alo = jnp.zeros_like(ch)
+        for d in range(2):
+            eh, el = exts[d]
+            vlo_h = shifted(eh, d, -1)
+            vhi_h = shifted(eh, d, +1)
+            vlo_l = shifted(el, d, -1)
+            vhi_l = shifted(el, d, +1)
+            sd, ed = two_sum(vlo_h, vhi_h)
+            s, e = two_sum(s, -(idr2 * sd))
+            comp = comp + (e - idr2 * ed)
+            alo = alo + idr2 * (vlo_l + vhi_l)
+        # den0 = 4*idr2 is a power of two: one exact product
+        s, e = two_sum(s, (4.0 * idr2) * ch)
+        comp = comp + e
+        comp = comp + RHSl[lvl] - (alo - (4.0 * idr2) * cl)
+        if self.lam_pair is not None:
+            lam_h, lam_l = self.lam_pair
+            p, pe = two_prod(ch, lam_h)  # traced first
+            s, e = two_sum(s, p)
+            comp = comp + (e + pe) + (lam_h * cl + lam_l * ch)
+        r_hi, _ = two_sum(s, comp)
+        return r_hi
+
+    # ------------------------------------------------------------------
+    # double-float restriction (exact 4-cell average) into coarse images
+    # ------------------------------------------------------------------
+    def _restrict_pair(self, h, l):
+        for axis in (0, 1):
+            hs, e = two_sum(h, jnp.roll(h, -1, axis=axis))
+            ls = l + jnp.roll(l, -1, axis=axis) + e
+            if axis == 0:
+                h, l = hs[::2], ls[::2]
+            else:
+                S = RefinedForestPoisson._even_selector(hs.shape[1])
+                h = jnp.einsum("cx,yx->yc", S, hs, precision="highest")
+                l = jnp.einsum("cx,yx->yc", S, ls, precision="highest")
+        return fast_two_sum(0.25 * h, 0.25 * l)
+
+    def _restrict_into_df(self, X, lvl):
+        sv = self.s
+        fh, fl = X[lvl]
+        ah, al = self._restrict_pair(fh, fl)
+        uc = sv._coarse_of(lvl)
+        ch, cl = X[uc]
+        for (lo, hi), (clo, chi) in zip(sv.geom[lvl].rects,
+                                        sv._image_rects(lvl)):
+            win = (slice(int(lo[1]) // 2, int(hi[1]) // 2),
+                   slice(int(lo[0]) // 2, int(hi[0]) // 2))
+            sl = sv._cansl(clo, chi)
+            ch = ch.at[sl].set(ah[win])
+            cl = cl.at[sl].set(al[win])
+        X[uc] = (ch, cl)
+        return X
+
+    # ------------------------------------------------------------------
+    # the fused outer step
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _jit_step(self):
+        sv = self.s
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def f(X, E, RHSh, RHSl):
+            X = dict(X)
+            for lvl in sv.levels:
+                xh, xl = X[lvl]
+                X[lvl] = accumulate_df32(xh, xl, E[lvl])
+            for lvl in reversed(sv.levels[1:]):
+                X = self._restrict_into_df(X, lvl)
+            memo = {}
+            R = {}
+            norm = jnp.zeros((), jnp.float32)
+            for lvl in sv.levels:
+                r = self._residual_df(X, RHSh, RHSl, lvl, memo)
+                R[lvl] = r
+                norm = jnp.maximum(norm, jnp.max(jnp.where(
+                    self.leaf_mask[lvl], jnp.abs(r), 0.0)))
+            return X, R, norm
+
+        return f
+
+    @functools.cached_property
+    def _jit_outer(self):
+        sv = self.s
+        lam_a = sv._lam(self.lam)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def f(X, state, RHSh, RHSl):
+            X = dict(X)
+            for lvl in sv.levels:
+                xh, xl = X[lvl]
+                X[lvl] = accumulate_df32(xh, xl, state["phi"][lvl])
+            for lvl in reversed(sv.levels[1:]):
+                X = self._restrict_into_df(X, lvl)
+            memo = {}
+            norm = jnp.zeros((), jnp.float32)
+            state = dict(state)
+            state["rhs"] = dict(state["rhs"])
+            for lvl in sv.levels:
+                r = self._residual_df(X, RHSh, RHSl, lvl, memo)
+                state["rhs"][lvl] = r
+                norm = jnp.maximum(norm, jnp.max(jnp.where(
+                    self.leaf_mask[lvl], jnp.abs(r), 0.0)))
+            state, _ = sv._fmg(state, lam_a, have_guess=False,
+                               need_res=False)
+            return X, state, norm
+
+        return f
+
+    def solve(self, state, rhs_hi: Dict, rhs_lo: Dict,
+              n_outer: int = 8, rtol: float = 0.0):
+        """rhs_hi/rhs_lo: {lvl: [Y, X] f32} canvas pairs.  Returns
+        ({lvl: (x_hi, x_lo)}, leaf residual-max history, inner
+        state)."""
+        sv = self.s
+        if self.n_eps:
+            for i in range(self.n_eps):
+                tag = f"eps{i}"
+                for lvl in sv.levels:
+                    state = sv.set_interior(state, lvl, tag,
+                                            self._eps_df[tag][lvl][0])
+            sv._direct = None
+        X, RHSh, RHSl = {}, {}, {}
+        for lvl in sv.levels:
+            shape = sv._pshape(sv.dims[lvl])
+            X[lvl] = (jnp.zeros(shape, jnp.float32),
+                      jnp.zeros(shape, jnp.float32))
+            RHSh[lvl] = jnp.asarray(rhs_hi[lvl], jnp.float32)
+            RHSl[lvl] = jnp.asarray(rhs_lo[lvl], jnp.float32)
+        norms_dev: List = []
+        state = dict(state)
+        state["rhs"] = dict(state["rhs"])
+        sv._ensure_direct(state)
+        for lvl in sv.levels:
+            state = sv._set(state, "phi", lvl,
+                            jnp.zeros_like(state["phi"][lvl]))
+        for i in range(n_outer):
+            X, state, mx = self._jit_outer(X, state, RHSh, RHSl)
+            norms_dev.append(mx)
+            if rtol and float(mx) <= rtol * float(norms_dev[0]):
+                break
+        E = {lvl: state["phi"][lvl] for lvl in sv.levels}
+        X, R, mx = self._jit_step(X, E, RHSh, RHSl)
+        for lvl in sv.levels:
+            state["rhs"][lvl] = R[lvl]
+        norms_dev.append(mx)
+        norms = [float(m) for m in norms_dev]
+        out = {lvl: (X[lvl][0], X[lvl][1]) for lvl in sv.levels}
         return out, norms, state

@@ -207,3 +207,102 @@ def test_refined_forest_vcoeff_f64_class(kind, operator, lam, neps):
         worst = max(worst, float(np.max(np.abs(
             r * np.asarray(ref.leaf_mask[lvl])))))
     assert worst <= 1e-9 * norms[0], (worst, norms)
+
+
+# ---------------------------------------------------------------------------
+# 2D trees (RefinedForest2DPoisson) — VERDICT r4 item 4
+# ---------------------------------------------------------------------------
+
+from octree_mg_tpu.solve.dense_forest2d import (  # noqa: E402
+    DenseForest2DMGSolver)
+from octree_mg_tpu.solve.refine_forest import (  # noqa: E402
+    RefinedForest2DPoisson)
+
+
+def mk_tree_2d():
+    """L-shaped 3-level quadtree (concave footprint, rb conflicts)."""
+    t = build_rectangle(2, [32] * 2, 4, [1 / 32.] * 2, [0] * 2)
+    _refine(t, 1, lambda ix: ix[0] <= 3 or ix[1] <= 3)
+    _refine(t, 2, lambda ix: np.all(ix[:2] <= 3))
+    tm.finalize_amr(t, 3)
+    return t
+
+
+def mk_solver_2d(operator="laplacian", dtype=jnp.float32):
+    sv = DenseForest2DMGSolver(mk_tree_2d(),
+                               MGConfig(operator=operator, dtype=dtype))
+    sv.set_bc(0, BCType.DIRICHLET, 0.0)
+    return sv
+
+
+def f64_leaf_residual_2d(operator, lam, x_pairs, rhs64, eps64, ref):
+    sv = mk_solver_2d(operator, dtype=jnp.float64)
+    st = sv.allocate()
+    for lvl in sv.levels:
+        xh, xl = x_pairs[lvl]
+        x64 = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+        st = sv.set_interior(st, lvl, "phi", jnp.asarray(x64))
+        st = sv.set_interior(st, lvl, "rhs", jnp.asarray(rhs64[lvl]))
+        for i in range(len(eps64.get(lvl, []))):
+            st = sv.set_interior(st, lvl, f"eps{i}",
+                                 jnp.asarray(eps64[lvl][i]))
+    lam_a = sv._lam(lam)
+    worst = 0.0
+    for lvl in sv.levels:
+        st = sv._residual(st, lvl, lam_a)
+        r = np.asarray(st["ires"][lvl])
+        worst = max(worst, float(np.max(np.abs(
+            r * np.asarray(ref.leaf_mask[lvl])))))
+    return worst
+
+
+@pytest.mark.parametrize("operator,lam,neps", [
+    ("laplacian", 0.0, 0),
+    ("helmholtz", 0.41, 0),
+    ("vlaplacian", 0.0, 1),
+])
+def test_refined_forest2d_f64_class(operator, lam, neps):
+    """2D composite refinement reaches the f64 class on an L-quadtree
+    (the reference's 2D AMR is f64 like everything else)."""
+    sv = mk_solver_2d(operator)
+    rng = np.random.default_rng(5)
+    rhs64, eps64 = {}, {}
+    for lvl in sv.levels:
+        X, Y = sv.dims[lvl]
+        rhs64[lvl] = rng.normal(size=(Y, X))
+        eps64[lvl] = [0.5 + rng.random((Y, X)) for _ in range(neps)]
+    ref = RefinedForest2DPoisson(sv, lam=lam,
+                                 eps=eps64 if neps else None)
+    st = sv.allocate()
+    rh = {l: split_f64(rhs64[l])[0] for l in sv.levels}
+    rl = {l: split_f64(rhs64[l])[1] for l in sv.levels}
+    x_pairs, norms, st = ref.solve(st, rh, rl, n_outer=10)
+    assert norms[-1] <= 1e-10 * norms[0], norms
+    worst = f64_leaf_residual_2d(operator, lam, x_pairs, rhs64,
+                                 eps64 if neps else {}, ref)
+    assert worst <= 1e-9 * norms[0], (worst, norms)
+
+
+def test_solve_refined_routes_2d_amr():
+    """Round-4 verdict Missing #3 regression: a 2-level 2D AMR tree
+    through solve_refined used to die on an opaque 2D-df32-gate assert;
+    it must now solve to the f64 class (transparent forest rebuild)."""
+    from octree_mg_tpu import build_amr_centered, make_solver
+    from octree_mg_tpu.solve.dense_amr2d import Dense2DAMRMGSolver
+    from octree_mg_tpu.solve.refine import solve_refined
+    tree = build_amr_centered(2, 2, np.full(2, 32), 8,
+                              np.full(2, 1.0 / 32))
+    sv = make_solver(tree, MGConfig(operator="laplacian",
+                                    dtype=jnp.float32))
+    assert isinstance(sv, Dense2DAMRMGSolver)
+    sv.set_bc(0, BCType.DIRICHLET, 0.0)
+    st = sv.allocate()
+    rng = np.random.default_rng(5)
+    rhs64 = {}
+    for lvl in sv.levels:
+        X, Y = sv.dims[lvl]
+        rhs64[lvl] = rng.normal(size=(Y, X))
+    rh = {l: split_f64(rhs64[l])[0] for l in rhs64}
+    rl = {l: split_f64(rhs64[l])[1] for l in rhs64}
+    x_pairs, norms, _ = solve_refined(sv, st, rh, rl, n_outer=8)
+    assert norms[-1] <= 1e-10 * norms[0], norms
