@@ -144,13 +144,14 @@ def run_mixed(size, box, n_outer=10):
         rp = RefinedPoisson(s32)
         # warm to steady state: the first executions of a fresh program
         # run ~25% slow on this runtime (allocator/program warm-up —
-        # probe_solve_clean rep0 96 ms vs 75-77 settled)
-        _, _, _, st32 = rp.solve(st32, rhi, rlo, n_outer=6)
-        _, _, _, st32 = rp.solve(st32, rhi, rlo, n_outer=6)
-        # best of 3 (the repo probe idiom): tunnel throughput varies
+        # probe_solve_clean rep0 96 ms vs 75-77 settled; ~a dozen
+        # executions to settle, so warm 24 outers)
+        for _ in range(3):
+            _, _, _, st32 = rp.solve(st32, rhi, rlo, n_outer=8)
+        # best of 4 (the repo probe idiom): tunnel throughput varies
         # +-10% between runs; min is the honest steady-state figure
         dt = np.inf
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             _, _, norms, st32 = rp.solve(st32, rhi, rlo,
                                          n_outer=n_outer)
@@ -386,6 +387,25 @@ def main():
     }))
     print(f"# size={attempt_size}^3 box={box} time/FMG={t_it:.4f}s "
           f"res {r0:.3e}->{r1:.3e} converged={converged}", file=sys.stderr)
+    # second line: the f64-class refined mode (the honest comparison
+    # against the f64 reference — round-4 verdict asked for it where
+    # the driver can see it).  Guarded: the f32 headline line above is
+    # already printed, so a failure here cannot cost it.
+    if attempt_size == size:
+        try:
+            ups_m, t_o, norms, factors = run_mixed(size, box)
+            print(json.dumps({
+                "metric": f"unknowns_per_s_{size}_refined_f64class",
+                "value": ups_m, "unit": "unknowns/s",
+                "vs_baseline": ups_m / BASELINE_UNKNOWNS_PER_S}))
+            print(f"# refined size={size}^3 time/outer={t_o:.4f}s "
+                  f"f64 residuals {norms[0]:.3e}->{norms[-1]:.3e} "
+                  f"contraction/outer "
+                  f"{['%.0f' % f for f in factors[:4]]}...",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# refined bench skipped: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
 
 
 if __name__ == "__main__":
