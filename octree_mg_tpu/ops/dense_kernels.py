@@ -206,11 +206,26 @@ def _parity_mask(gcoords, red_parity: int):
     return (pyx != pz) if red_parity == 1 else (pyx == pz)
 
 
-def _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret):
+def _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret, segd=None,
+                  g=None):
     """(lo, hi) neighbor-value arrays along dim d with inline BC synth.
 
     bpw: per direction the boundary value (scalar or array broadcast to
-    the window shape); masks: from :func:`_face_masks`."""
+    the window shape); masks: from :func:`_face_masks`.
+
+    segd: optional forest SEGMENT synthesis (reader-indexed): a list of
+    (c, side, (a0, a1, a2, m) transverse-plane windows) for ghost layers
+    at canvas coordinate c along dim d.  A reader whose dim-d neighbor
+    at distance 1 is a ghost cell of such a layer substitutes
+    ghost = (a0 + a1*x1) + a2*x2 with x1 = the reader itself and x2 =
+    the reader's other dim-d neighbor — the same expression tree as the
+    ring/face synthesis in DenseForestMGSolver._ring_values (c0*b
+    pre-multiplied into a0), so values are bit-identical.  side 0:
+    ghost at the LOW side of its footprint run (seg.nb even; readers at
+    c+1 read their LO neighbor); side 1: readers at c-1 read HI.
+    Computed at READ time per direction, which also resolves
+    concave-corner conflicts exactly (per-box ghost-storage semantics —
+    each direction's reads see that direction's ghosts)."""
     lo_raw = _roll(p, +1, axis, interpret)
     hi_raw = _roll(p, -1, axis, interpret)
     if masks[d] is None:
@@ -218,18 +233,28 @@ def _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret):
         # maintained pad planes, and window-border wraparound lands only
         # in rows whose results are never consumed), or a dim whose
         # boundary lies outside this window (interior-tile fast path)
-        return lo_raw, hi_raw
-    c0l, c1l, c2l = cfg.bc[2 * d]
-    c0h, c1h, c2h = cfg.bc[2 * d + 1]
-    glo = c0l * bpw[2 * d] + c1l * p
-    if c2l != 0.0:
-        glo = glo + c2l * hi_raw
-    ghi = c0h * bpw[2 * d + 1] + c1h * p
-    if c2h != 0.0:
-        ghi = ghi + c2h * lo_raw
-    m_lo, m_hi = masks[d]
-    lo = jnp.where(m_lo, glo, lo_raw)
-    hi = jnp.where(m_hi, ghi, hi_raw)
+        lo, hi = lo_raw, hi_raw
+    else:
+        c0l, c1l, c2l = cfg.bc[2 * d]
+        c0h, c1h, c2h = cfg.bc[2 * d + 1]
+        glo = c0l * bpw[2 * d] + c1l * p
+        if c2l != 0.0:
+            glo = glo + c2l * hi_raw
+        ghi = c0h * bpw[2 * d + 1] + c1h * p
+        if c2h != 0.0:
+            ghi = ghi + c2h * lo_raw
+        m_lo, m_hi = masks[d]
+        lo = jnp.where(m_lo, glo, lo_raw)
+        hi = jnp.where(m_hi, ghi, hi_raw)
+    if segd:
+        gq = g[d]
+        for (c, side, (a0w, a1w, a2w, mw)) in segd:
+            if side == 0:
+                m = (gq == c + 1) & (mw != 0.0)
+                lo = jnp.where(m, (a0w + a1w * p) + a2w * hi_raw, lo)
+            else:
+                m = (gq == c - 1) & (mw != 0.0)
+                hi = jnp.where(m, (a0w + a1w * p) + a2w * lo_raw, hi)
     return lo, hi
 
 
@@ -268,7 +293,7 @@ def _eps_neighbor_ops(cfg, e, d, axis, masks, interpret, ebpw=None):
 
 
 def _halfsweep(cfg, p, rhs_w, lam, masks, upd, red, bpw, interpret,
-               eps=(), ebpw=None):
+               eps=(), ebpw=None, segw=None, g=None):
     """One masked GSRB half-sweep over a window; bitwise-identical
     arithmetic to kernels.helmholtz_smooth_half (constant coefficient)
     / kernels.vhelmholtz_smooth_half / kernels.ahelmholtz_smooth_half
@@ -299,13 +324,15 @@ def _halfsweep(cfg, p, rhs_w, lam, masks, upd, red, bpw, interpret,
     acc = -rhs_w
     # dim order 0=x(axis2), 1=y(axis1), 2=z(axis0), ascending like boxed
     for d, axis in ((0, 2), (1, 1), (2, 0)):
-        lo, hi = _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret)
+        lo, hi = _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret,
+                               None if segw is None else segw[d], g)
         acc = acc + cfg.idr2[d] * (lo + hi)
     new = acc * (1.0 / (cfg.den0 + lam))
     return jnp.where(upd, new, p) if red else jnp.where(upd, p, new)
 
 
-def _apply_expr(cfg, p, lam, masks, bpw, interpret, eps=(), ebpw=None):
+def _apply_expr(cfg, p, lam, masks, bpw, interpret, eps=(), ebpw=None,
+                segw=None, g=None):
     """A(phi) over a window (boxed op_apply order: out = -lam*c;
     out += idr2[d]*(lo + hi - 2c), or with eps the harmonic-mean form
     out += c*(nbr - c0), kernels.vhelmholtz_apply/ahelmholtz_apply)."""
@@ -325,7 +352,8 @@ def _apply_expr(cfg, p, lam, masks, bpw, interpret, eps=(), ebpw=None):
             out = out + c * (phi_ - p)
         return out
     for d, axis in ((0, 2), (1, 1), (2, 0)):
-        lo, hi = _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret)
+        lo, hi = _neighbor_ops(cfg, p, d, axis, masks, bpw, interpret,
+                               None if segw is None else segw[d], g)
         out = out + cfg.idr2[d] * (lo + hi - 2.0 * p)
     return out
 
@@ -431,7 +459,7 @@ def _restrict_window(core, interp):
 
 def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
                  restrict_outs: bool = False, fine_out: bool = True,
-                 zstream: bool = False):
+                 zstream: bool = False, segs=None):
     """Shared scaffolding: window DMA in, ``body`` on the window,
     core DMA out.  body(p_window, rhs_window, lam, masks, gcoords, bpw) ->
     window-shaped result.
@@ -482,12 +510,15 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
 
     n_eps = cfg.n_eps
 
+    n_seg = 0 if segs is None else len(segs)
+
     def kernel(*refs):
         phi_hbm, rhs_hbm = refs[0], refs[1]
         eps_hbm = refs[2:2 + n_eps]
         (b0, b1, b2, b3, b4, b5, lam_ref,
          zg_ref) = refs[2 + n_eps:10 + n_eps]
-        rest = list(refs[10 + n_eps:])
+        seg_refs = refs[10 + n_eps:10 + n_eps + n_seg]
+        rest = list(refs[10 + n_eps + n_seg:])
         out_hbm = rest.pop(0) if fine_out else None
         if restrict_outs:
             outpc_hbm = rest.pop(0)
@@ -644,35 +675,91 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
         rw = hrhs[slot]
         ew = tuple(h[slot] for h in heps)
 
-        def run(active):
+        # forest segment-plane windows (VMEM-resident like the bc
+        # planes; layouts per axis mirror the face-plane treatment).
+        # Slicing is LAZY — materialized only inside switch branches
+        # whose axis is active, so interior windows pay nothing.
+        segw = None
+        if n_seg:
+            def _seg_slice(sd, ref):
+                if sd == 2:                      # z: [4, YPW, X]
+                    w = ref[:, pl.ds(y0, tyw), :]
+                    return tuple(w[k][None, :, :] for k in range(4))
+                if sd == 1:                      # y: [4, ZP, X]
+                    zb = pl.multiple_of(z0, tz)
+                    w = ref[:, pl.ds(zb, tz + 2 * PZ), :]
+                    w = w[:, PZ - hz:PZ - hz + tzw, :]
+                    return tuple(w[k][:, None, :] for k in range(4))
+                # x: [4, nyt, ZP, tyw]
+                yi = lax.div(y0, jnp.int32(ty))
+                zb = pl.multiple_of(z0, tz)
+                w = ref[:, yi, pl.ds(zb, tz + 2 * PZ), :]
+                w = w[:, PZ - hz:PZ - hz + tzw, :]
+                return tuple(w[k][:, :, None] for k in range(4))
+
+            segw = {0: [], 1: [], 2: []}
+            for (sd, sc, ss), ref in zip(segs, seg_refs):
+                segw[sd].append((sc, ss, (sd, ref)))
+
+        def run(active, seg_on=(True, True, True)):
             def f():
                 masks = _face_masks(cfg, g, zgates, active=active)
-                return body(pw, rw, lam, masks, g, bpw, ew)
+                sl = segw
+                if segw is not None:
+                    sl = {d: [(c, side, _seg_slice(*lazy))
+                              for (c, side, lazy) in segw[d]]
+                          for d in (0, 1, 2)
+                          if d == 0 or seg_on[d]}
+                    sl.setdefault(1, [])
+                    sl.setdefault(2, [])
+                return body(pw, rw, lam, masks, g, bpw, ew, sl)
             return f
 
         # interior-tile fast path: most windows contain no y/z boundary
-        # row, so their ghost-synthesis ops (the bulk of the per-cell
-        # VPU work beyond the stencil itself) are dropped via a scalar
-        # switch — bitwise exact, the masks would be all-false.  x
-        # boundaries span every window (full-width lanes), so x
-        # synthesis always runs.
+        # row (nor any forest ghost-layer reader row), so their
+        # ghost-synthesis ops (the bulk of the per-cell VPU work beyond
+        # the stencil itself) are dropped via a scalar switch — bitwise
+        # exact, the masks/selects would be all-false.  x boundaries
+        # and x-axis ghost layers span every window (full-width lanes),
+        # so x synthesis always runs.
         sw = [d for d in (1, 2) if not cfg.periodic[d]]
-        if not sw:
+        seg_sw = [d for d in (1, 2) if segw is not None and segw[d]]
+        if not sw and not seg_sw:
             res = run((True, True, True))()
         else:
             preds = {
                 1: (y0 <= PY) | (y0 + ty + PY >= cfg.Y),
                 2: (z0 <= hz) | (z0 + tz + hz >= cfg.Z),
             }
+            seg_preds = {}
+            for d in seg_sw:
+                pr = None
+                for (c, side, _p) in segw[d]:
+                    reader = c + 1 if side == 0 else c - 1
+                    if d == 2:
+                        inr = ((reader >= z0 - hz)
+                               & (reader < z0 + tz + hz))
+                    else:
+                        inr = ((reader >= y0 - PY)
+                               & (reader < y0 + ty + PY))
+                    pr = inr if pr is None else (pr | inr)
+                seg_preds[d] = pr
+            keys = [("m", d) for d in sw] + [("s", d) for d in seg_sw]
             idx = jnp.int32(0)
-            for k, d in enumerate(sw):
-                idx = idx + (1 << k) * preds[d].astype(jnp.int32)
+            for k, (kind, d) in enumerate(keys):
+                pv = preds[d] if kind == "m" else seg_preds[d]
+                idx = idx + (1 << k) * pv.astype(jnp.int32)
             branches = []
-            for bits in range(1 << len(sw)):
+            for bits in range(1 << len(keys)):
                 active = [True, True, True]
-                for k, d in enumerate(sw):
-                    active[d] = bool((bits >> k) & 1)
-                branches.append(run(tuple(active)))
+                seg_on = [True, True, True]
+                for k, (kind, d) in enumerate(keys):
+                    on = bool((bits >> k) & 1)
+                    if kind == "m":
+                        active[d] = on
+                    else:
+                        seg_on[d] = on
+                branches.append(run(tuple(active), tuple(seg_on)))
             res = lax.switch(idx, branches)
 
         if restrict_outs:
@@ -724,7 +811,8 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
 
 def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
                  restrict_outs: bool = False, fine_out: bool = True,
-                 zstream: bool = False, eps=()):
+                 zstream: bool = False, eps=(), segs=None,
+                 seg_planes=None):
     assert len(eps) == cfg.n_eps
     assert cfg.eps_bc is None, \
         "eps-plane ghost synthesis rides the jnp path only"
@@ -733,8 +821,12 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
     tz, ty, X = cfg.tz, cfg.ty, cfg.X
     tzw, tyw = tz + 2 * hz, ty + 2 * PY
     dt = cfg.dtype
+    if segs:
+        # y/x-axis planes put z on the sublane dim: superset loads need
+        # tz % 8 == 0 (callers gate on seg_kernel_ok)
+        assert tz % 8 == 0 and not cfg.n_eps
     kernel, T = _make_kernel(cfg, body, hz, restrict_outs, fine_out,
-                             zstream)
+                             zstream, segs)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -764,6 +856,21 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
         zg_arr = jnp.stack([jnp.asarray(z_gates[0], jnp.int32),
                             jnp.asarray(z_gates[1], jnp.int32)]
                            ).reshape(1, 2)
+
+    seg_args = []
+    seg_specs = []
+    if segs:
+        nyt = cfg.Y // ty
+        for (sd, sc, ss), pl_arr in zip(segs, seg_planes):
+            if sd == 0:
+                # x-axis planes [4, ZP, YPW]: y lives on lanes (no
+                # dynamic lane windows) — pre-block per y tile, like
+                # the x-face bc planes
+                pl_arr = jnp.stack(
+                    [pl_arr[:, :, k * ty:k * ty + tyw]
+                     for k in range(nyt)], axis=1)
+            seg_args.append(pl_arr)
+            seg_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     fshape = jax.ShapeDtypeStruct(cfg.pshape, dt)
     cshape = jax.ShapeDtypeStruct(
@@ -796,7 +903,7 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
         out_shape=out_shape,
         grid=(T,),
         in_specs=([any_spec] * (2 + cfg.n_eps) + plane_specs
-                  + [smem_spec, smem_spec]),
+                  + [smem_spec, smem_spec] + seg_specs),
         out_specs=out_specs,
         scratch_shapes=scratch,
         # the 4-sweep body's scoped temporaries exceed the 16 MiB
@@ -805,7 +912,7 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=cfg.interpret,
-    )(phi, rhs, *eps, *plane_args, lam_arr, zg_arr)
+    )(phi, rhs, *eps, *plane_args, lam_arr, zg_arr, *seg_args)
 
 
 # ---------------------------------------------------------------------------
@@ -814,7 +921,8 @@ def _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz,
 
 def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
                      red_parity: int, z_gates=None, n_pairs: int = 1,
-                     eps=(), eps_planes=None):
+                     eps=(), eps_planes=None, segs=None,
+                     seg_planes=None):
     """Fused [red half-sweep, ghost refresh, black half-sweep] x n_pairs.
 
     phi/rhs: padded_shape(dims); lam: scalar; bplanes: 6 padded
@@ -832,19 +940,20 @@ def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
     """
     if not cfg.use_kernel:
         assert n_pairs == 1, "jnp fallback runs single pairs"
+        assert segs is None
         return _pair_jnp(cfg, phi, rhs, lam, bplanes, red_parity, z_gates,
                          eps, eps_planes)
     assert eps_planes is None, "eps planes ride the jnp path only"
     assert 2 * n_pairs <= PZ
 
-    def body(p, r, lam_s, masks, g, bpw, epw):
+    def body(p, r, lam_s, masks, g, bpw, epw, segw=None):
         upd = _parity_mask(g, red_parity)
 
         def one(i, p):
             p = _halfsweep(cfg, p, r, lam_s, masks, upd, True, bpw,
-                           cfg.interpret, epw)
+                           cfg.interpret, epw, segw=segw, g=g)
             return _halfsweep(cfg, p, r, lam_s, masks, upd, False, bpw,
-                              cfg.interpret, epw)
+                              cfg.interpret, epw, segw=segw, g=g)
 
         if n_pairs == 1:
             return one(0, p)
@@ -853,7 +962,8 @@ def pair_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
         return lax.fori_loop(0, n_pairs, one, p)
 
     return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates,
-                        hz=2 * n_pairs, eps=eps)
+                        hz=2 * n_pairs, eps=eps, segs=segs,
+                        seg_planes=seg_planes)
 
 
 def half_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
@@ -876,7 +986,7 @@ def half_sweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
                           True, eps, _bpw_eps_full(eps_planes))
     assert eps_planes is None, "eps planes ride the jnp path only"
 
-    def body(p, r, lam_s, masks, g, bpw, epw):
+    def body(p, r, lam_s, masks, g, bpw, epw, segw=None):
         upd = _parity_mask(g, parity)
         return _halfsweep(cfg, p, r, lam_s, masks, upd, True, bpw,
                           cfg.interpret, epw)
@@ -902,7 +1012,7 @@ def downsweep_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
     hz = 2 * n_pairs + 1
     assert hz <= PZ
 
-    def body(p, r, lam_s, masks, g, bpw, epw):
+    def body(p, r, lam_s, masks, g, bpw, epw, segw=None):
         upd = _parity_mask(g, red_parity)
 
         def one(i, p):
@@ -929,7 +1039,7 @@ def residual_restrict_dense(cfg: DenseStencilConfig, phi, rhs, lam,
     [stencil_apply_dense(residual=True), restrict_dense x2]."""
     assert cfg.fused_down_ok
 
-    def body(p, r, lam_s, masks, g, bpw, epw):
+    def body(p, r, lam_s, masks, g, bpw, epw, segw=None):
         resid = r - _apply_expr(cfg, p, lam_s, masks, bpw, cfg.interpret,
                                 epw)
         return p, resid
@@ -940,21 +1050,23 @@ def residual_restrict_dense(cfg: DenseStencilConfig, phi, rhs, lam,
 
 def stencil_apply_dense(cfg: DenseStencilConfig, phi, rhs, lam, bplanes,
                         residual: bool, z_gates=None, eps=(),
-                        eps_planes=None):
+                        eps_planes=None, segs=None, seg_planes=None):
     """A(phi) (or rhs - A(phi)) in one pass (box_lpl/box_helmh +
     residual_box, m_multigrid.f90:426-436; box_vlpl/box_ahelmh when
     eps fields are present)."""
     if not cfg.use_kernel:
+        assert segs is None
         return _apply_jnp(cfg, phi, rhs, lam, bplanes, residual, z_gates,
                           eps, eps_planes)
     assert eps_planes is None, "eps planes ride the jnp path only"
 
-    def body(p, r, lam_s, masks, g, bpw, epw):
-        out = _apply_expr(cfg, p, lam_s, masks, bpw, cfg.interpret, epw)
+    def body(p, r, lam_s, masks, g, bpw, epw, segw=None):
+        out = _apply_expr(cfg, p, lam_s, masks, bpw, cfg.interpret, epw,
+                          segw=segw, g=g)
         return r - out if residual else out
 
     return _call_kernel(cfg, body, phi, rhs, lam, bplanes, z_gates, hz=1,
-                        eps=eps)
+                        eps=eps, segs=segs, seg_planes=seg_planes)
 
 
 # ---------------------------------------------------------------------------
@@ -1090,14 +1202,18 @@ def restrict_dense(cfg_f: DenseStencilConfig, fine):
 
 def prolong_correct_dense(cfg_c: DenseStencilConfig, phi_c, iold_c,
                           phi_f, bplanes_c, z_gates=None,
-                          add: bool = True):
+                          add: bool = True, corr_ready: bool = False):
     """Fused correct_children (m_multigrid.f90:387-402): one kernel
     computes corr = phi_c - iold_c with ghost-ring semantics (BC
     synthesis / halo pads), applies mg_prolong_sparse D-linear weights
     (m_prolong.f90:159-240), and adds the result into phi_f.
 
     With add=False, iold_c is ignored and the prolonged phi_c replaces
-    phi_f's interior (mg_prolong set mode, used by FFT seeding)."""
+    phi_f's interior (mg_prolong set mode, used by FFT seeding).
+    With corr_ready=True, phi_c already IS the correction (iold_c
+    ignored) and the prolonged values ADD into phi_f — the forest
+    path's mode (its correction window is assembled with ring/rb ghost
+    semantics the plane inputs carry)."""
     Xc, Yc, Zc = cfg_c.dims
     tiles = transfer_tiles((Xc, Yc, Zc))
     if tiles is None or (2 * Xc) % 128 != 0:
@@ -1129,7 +1245,7 @@ def prolong_correct_dense(cfg_c: DenseStencilConfig, phi_c, iold_c,
             phif_hbm.at[pl.ds(2 * z0c + PZ, 2 * tzc),
                         pl.ds(2 * y0c + PY, 2 * tyc), :], hf, sems.at[2])
         d3.start()
-        if add:
+        if add and not corr_ready:
             d2 = pltpu.make_async_copy(
                 ioldc_hbm.at[pl.ds(zo, tzw), pl.ds(y0c, tyw), :], hic,
                 sems.at[1])
@@ -1144,18 +1260,26 @@ def prolong_correct_dense(cfg_c: DenseStencilConfig, phi_c, iold_c,
         for i in range(6):
             if cfg_c.b_const[i] is not None:
                 bpw.append(cfg_c.b_const[i])
-            elif i < 2:
-                bpw.append(brefs[i][pl.ds(zo, tzw),
-                                    pl.ds(y0c, tyw)][:, :, None])
+                continue
+            # plane windows need 8-aligned sublane offsets: load the
+            # tile-aligned superset and subslice statically; x-face
+            # planes carry y on lanes (no dynamic lane windows) and
+            # arrive pre-blocked per y tile (cf. _make_kernel)
+            zb = pl.multiple_of(z0c, tzc)
+            if i < 2:
+                w = brefs[i][yi, pl.ds(zb, tzc + 2 * PZ), :]
+                bpw.append(w[PZ - hz:PZ - hz + tzw][:, :, None])
             elif i < 4:
-                bpw.append(brefs[i][pl.ds(zo, tzw), :][:, None, :])
+                w = brefs[i][pl.ds(zb, tzc + 2 * PZ), :]
+                bpw.append(w[PZ - hz:PZ - hz + tzw][:, None, :])
             else:
-                bpw.append(brefs[i][pl.ds(y0c, tyw), :][None, :, :])
+                yb = pl.multiple_of(y0c, tyc)
+                bpw.append(brefs[i][pl.ds(yb, tyw), :][None, :, :])
         zgates = (zg_ref[0, 0] != 0, zg_ref[0, 1] != 0)
         masks = _face_masks(cfg_c, gco, zgates)
 
         pc = hpc[:]
-        if add:
+        if add and not corr_ready:
             ic = hic[:]
             corr = pc - ic
         else:
@@ -1167,7 +1291,7 @@ def prolong_correct_dense(cfg_c: DenseStencilConfig, phi_c, iold_c,
         for d, axis in ((0, 2), (1, 1), (2, 0)):
             lop, hip = _neighbor_ops(cfg_c, pc, d, axis, masks, bpw,
                                      interp)
-            if add:
+            if add and not corr_ready:
                 loi, hii = _neighbor_ops(cfg_c, ic, d, axis, masks, bpw,
                                          interp)
                 lo[d] = lop - loi
@@ -1216,7 +1340,12 @@ def prolong_correct_dense(cfg_c: DenseStencilConfig, phi_c, iold_c,
     plane_specs = []
     for i in range(6):
         if cfg_c.b_const[i] is None:
-            plane_args.append(bplanes_c[i])
+            pa = bplanes_c[i]
+            if i < 2:
+                nyt = Yc // tyc
+                pa = jnp.stack([pa[:, k * tyc:k * tyc + tyw]
+                                for k in range(nyt)])
+            plane_args.append(pa)
             plane_specs.append(vmem_spec)
         else:
             plane_args.append(zeros11)

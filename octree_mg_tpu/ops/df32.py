@@ -300,7 +300,7 @@ def residual_df32_dense(cfg: dk.DenseStencilConfig, xhi, xlo, rhshi,
     if cbs is None:
         cbs = _cb_pairs(cfg)
 
-    def body(p, r, lam_s, masks, g, bpw, epw):
+    def body(p, r, lam_s, masks, g, bpw, epw, segw=None):
         xlo_w, rhslo_w = epw
         return _df32_expr(cfg, p, xlo_w, r, rhslo_w, masks, cbs,
                           cfg.interpret, lam_pair=lam_pair)

@@ -125,6 +125,29 @@ def _greedy_rects_3d(occ: np.ndarray) -> List[Tuple[np.ndarray, np.ndarray]]:
     return out
 
 
+
+def _dep_memo(obj, name, lvlkey, deps, build):
+    """Identity-keyed memo for per-phase traced builds (rb strips, seg
+    planes).  The build is a pure function of the dependency arrays
+    (coarser-level canvases + bc planes) and static geometry; keying on
+    OBJECT IDENTITY of the deps is exact both under tracing (tracer
+    objects persist within one trace, never across traces) and eagerly
+    (a changed array is a new object).  Saves the repeated coarse-ext
+    materializations between consumers inside one level visit
+    (down-smooth -> residual -> transfers read the same coarse phi —
+    measured 6.1 ms/build at a 256^3-class canvas, docs/PERF.md)."""
+    memo = obj.__dict__.setdefault(name, {})
+    lst = memo.setdefault(lvlkey, [])
+    for d, r in lst:
+        if len(d) == len(deps) and all(a is b for a, b in zip(d, deps)):
+            return r
+    r = build()
+    lst.append((deps, r))
+    if len(lst) > 4:
+        lst.pop(0)
+    return r
+
+
 class _LevelGeom:
     """Canvas geometry of one refinement level."""
 
@@ -575,6 +598,18 @@ class DenseForestMGSolver(DenseMGSolver):
         return x1, x2
 
     def _rb_cache(self, state, lvl, key) -> Dict[int, jnp.ndarray]:
+        """Memoized coarse-side interpolation planes (see
+        :func:`_dep_memo`; deps: every coarser canvas of this variable
+        plus the raw bc planes)."""
+        if not any(se.kind == "rb" for se in self.segs[lvl]):
+            return {}
+        deps = tuple(v for u, v in state[key].items()
+                     if self._lvl_of(u) < self._lvl_of(lvl)) \
+            + tuple(pp for ps in state["bc"].values() for pp in ps)
+        return _dep_memo(self, "_rbc_memo", (lvl, key), deps,
+                         lambda: self._rb_cache_build(state, lvl, key))
+
+    def _rb_cache_build(self, state, lvl, key) -> Dict[int, jnp.ndarray]:
         """Coarse-side interpolation planes b per rb segment
         (box_gc_for_fine_neighbor: strip + ±0.125 transverse gradients,
         m_ghost_cells.f90:500-577).  Constant while the coarse level is
@@ -587,14 +622,21 @@ class DenseForestMGSolver(DenseMGSolver):
         # ±1 transverse strip reads are per-axis ghost reads of the
         # coarse neighbor box (m_ghost_cells.f90:557-576); at conflicted
         # ring cells only the axis-preferenced ext carries the right
-        # value for that read direction
+        # value for that read direction.
+        # The strips are extracted WITHOUT materializing the [N+2]^3
+        # ext (its unaligned layout measured 5.8 ms at a 128^3 coarse
+        # canvas — the dominant per-phase cost of the whole forest
+        # path): _ext_strip slices the ring-written ALIGNED canvas and
+        # fills out-of-canvas border lines from the face planes,
+        # value-identical by construction (same _assemble products).
         need = self.conflicts.get(uc) is not None
         if need:
-            ext_ax = {a: self._ext(state, uc, key, bcache=bc_c,
-                                   prefer=a) for a in range(3)}
-            ext = ext_ax[0]
+            asm_ax = {a: self._assemble(state, uc, key, bcache=bc_c,
+                                        prefer=a)[:2] for a in range(3)}
+            asm = asm_ax[0]
         else:
-            ext = self._ext(state, uc, key, bcache=bc_c)
+            asm_ax = None
+            asm = self._assemble(state, uc, key, bcache=bc_c)[:2]
         off_c = self.offsets[uc]
         off_f = self.offsets[lvl]
         out = {}
@@ -611,11 +653,11 @@ class DenseForestMGSolver(DenseMGSolver):
                 c0 = (int(off_f[dd]) + int(seg.lo[dd])) // 2 - int(off_c[dd])
                 c1 = (int(off_f[dd]) + int(seg.hi[dd])) // 2 - int(off_c[dd])
                 sl[2 - dd] = slice(c0, c1 + 2)  # ext coords: ±1 ring
-            tmp = ext[tuple(sl)]                # [t_hi+2, t_lo+2]
+            tmp = self._ext_strip(asm, uc, tuple(sl))  # [t_hi+2, t_lo+2]
             if need:
                 t_lo, t_hi = [dd for dd in range(3) if dd != d]
-                e_hi = ext_ax[t_hi][tuple(sl)]
-                e_lo = ext_ax[t_lo][tuple(sl)]
+                e_hi = self._ext_strip(asm_ax[t_hi], uc, tuple(sl))
+                e_lo = self._ext_strip(asm_ax[t_lo], uc, tuple(sl))
                 tmp = tmp.at[0, :].set(e_hi[0, :]).at[-1, :].set(
                     e_hi[-1, :])
                 tmp = tmp.at[:, 0].set(e_lo[:, 0]).at[:, -1].set(
@@ -626,6 +668,106 @@ class DenseForestMGSolver(DenseMGSolver):
             out[i] = self._pin_repl(
                 interp_rb_strip(self._pin_repl(tmp)[None], 3)[0])
         return out
+
+    def _ext_strip(self, asm, lvl, sl):
+        """ext[sl] (one int index + two slices, array z,y,x order)
+        WITHOUT materializing the [N+2]^3 ext — value-identical to
+        ``self._ext(...)[sl]``: interior positions slice the
+        ring-written ALIGNED padded canvas; out-of-canvas border lines
+        come from the assembled face planes with _ext's exact index
+        arithmetic; corner positions (two border coords) stay zero,
+        as in the ext (never written there)."""
+        canvas, planes = asm
+        N = [int(self.dims[lvl][2]), int(self.dims[lvl][1]),
+             int(self.dims[lvl][0])]              # array-axis extents
+        pads = (dk.PZ, dk.PY, 0)
+        axes = [a for a in range(3) if isinstance(sl[a], slice)]
+        a1, a2 = axes
+        A0 = [a for a in range(3) if a not in axes][0]
+        n = int(sl[A0])                           # interior ext layer
+        s1, s2 = sl[a1], sl[a2]
+        T1 = s1.stop - s1.start
+        T2 = s2.stop - s2.start
+        tmp = jnp.zeros((T1, T2), self.cfg.dtype)
+        r0, r1 = max(s1.start, 1), min(s1.stop, N[a1] + 1)
+        c0, c1 = max(s2.start, 1), min(s2.stop, N[a2] + 1)
+        if r0 < r1 and c0 < c1:
+            isl: List = [0, 0, 0]
+            isl[A0] = pads[A0] + (n - 1)
+            isl[a1] = slice(pads[a1] + r0 - 1, pads[a1] + r1 - 1)
+            isl[a2] = slice(pads[a2] + c0 - 1, pads[a2] + c1 - 1)
+            tmp = tmp.at[r0 - s1.start:r1 - s1.start,
+                         c0 - s2.start:c1 - s2.start].set(
+                canvas[tuple(isl)])
+
+        def border(axis_b, e_coord):
+            side = 0 if e_coord == 0 else 1
+            p = planes[2 * (2 - axis_b) + side]
+            idx = []
+            for a in range(3):
+                if a == axis_b:
+                    continue
+                padp = pads[a]
+                if a == A0:
+                    idx.append(padp + (n - 1))
+                elif a == a1:
+                    idx.append(slice(padp + r0 - 1, padp + r1 - 1))
+                else:
+                    idx.append(slice(padp + c0 - 1, padp + c1 - 1))
+            return p[tuple(idx)]
+
+        if s1.start == 0:
+            tmp = tmp.at[0, c0 - s2.start:c1 - s2.start].set(
+                border(a1, 0))
+        if s1.stop == N[a1] + 2:
+            tmp = tmp.at[-1, c0 - s2.start:c1 - s2.start].set(
+                border(a1, N[a1] + 1))
+        if s2.start == 0:
+            tmp = tmp.at[r0 - s1.start:r1 - s1.start, 0].set(
+                border(a2, 0))
+        if s2.stop == N[a2] + 2:
+            tmp = tmp.at[r0 - s1.start:r1 - s1.start, -1].set(
+                border(a2, N[a2] + 1))
+        return tmp
+
+    def _ext_window(self, asm, lvl, sl3):
+        """ext[sl3] (three slices) without materializing the ext —
+        value-identical to ``self._ext(...)[sl3]`` (the 3D-window form
+        of :meth:`_ext_strip`): the interior block is ONE aligned slice
+        of the ring-written padded canvas; window faces at ext borders
+        come from the assembled face planes; edge/corner positions
+        (two+ border coords) stay zero, as in the ext."""
+        canvas, planes = asm
+        N = [int(self.dims[lvl][2]), int(self.dims[lvl][1]),
+             int(self.dims[lvl][0])]
+        pads = (dk.PZ, dk.PY, 0)
+        T = [s.stop - s.start for s in sl3]
+        lo = [max(s.start, 1) for s in sl3]
+        hi = [min(s.stop, N[a] + 1) for a, s in enumerate(sl3)]
+        tmp = jnp.zeros(tuple(T), self.cfg.dtype)
+        core = canvas[tuple(
+            slice(pads[a] + lo[a] - 1, pads[a] + hi[a] - 1)
+            for a in range(3))]
+        tmp = tmp.at[tuple(
+            slice(lo[a] - sl3[a].start, hi[a] - sl3[a].start)
+            for a in range(3))].set(core)
+        for axis_b in range(3):
+            others = [a for a in range(3) if a != axis_b]
+            for side, e_coord in ((0, 0), (1, N[axis_b] + 1)):
+                if side == 0 and sl3[axis_b].start != 0:
+                    continue
+                if side == 1 and sl3[axis_b].stop != N[axis_b] + 2:
+                    continue
+                p = planes[2 * (2 - axis_b) + side]
+                psl = tuple(slice(pads[a] + lo[a] - 1,
+                                  pads[a] + hi[a] - 1) for a in others)
+                osl: List = [0, 0, 0]
+                osl[axis_b] = 0 if side == 0 else T[axis_b] - 1
+                for a in others:
+                    osl[a] = slice(lo[a] - sl3[a].start,
+                                   hi[a] - sl3[a].start)
+                tmp = tmp.at[tuple(osl)].set(p[psl])
+        return tmp
 
     def _ring_values(self, canvas, bplanes_raw, bcache, lvl, key="phi"
                      ) -> Dict[int, jnp.ndarray]:
@@ -1071,6 +1213,149 @@ class DenseForestMGSolver(DenseMGSolver):
     # ------------------------------------------------------------------
     # cycle building blocks
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # fused-canvas smoother: in-kernel ring/face ghost synthesis
+    # (round-5: breaks the per-half-sweep ghost-cadence wall)
+    # ------------------------------------------------------------------
+    def _seg_kcfg(self, lvl):
+        """Kernel config for the segment-synthesis (fused-canvas) path:
+        all uniform boundary machinery off (periodic=True makes every
+        _face_masks entry None), ghosts come exclusively from the
+        reader-indexed segment planes.  None when the canvas cannot
+        ride the Mosaic path (alignment) or tz % 8 fails (y/x-axis
+        plane windows need 8-aligned sublane loads)."""
+        memo = self.__dict__.setdefault("_seg_kcfg_memo", {})
+        if lvl in memo:
+            return memo[lvl]
+        t = self.tree
+        idr2 = tuple(float(x) for x in
+                     1.0 / t.dr[self._lvl_of(lvl)] ** 2)
+        c2 = dk.DenseStencilConfig(
+            dims=self.dims[lvl], idr2=idr2, bc=[(1.0, 0.0, 0.0)] * 6,
+            periodic=(True, True, True), dtype=self.cfg.dtype,
+            b_const=[0.0] * 6, tile=(16, 32), interpret=self.interpret,
+            n_eps=0)
+        memo[lvl] = c2 if (c2.use_kernel and c2.tz % 8 == 0) else None
+        return memo[lvl]
+
+    def _seg_desc(self, lvl):
+        """(descriptors, groups) for the fused-canvas kernels, or None
+        outside the gate: constant coefficients, Mosaic-eligible canvas,
+        no periodic wrap segments (their sources are not in-window), and
+        a bounded VMEM-resident plane budget.
+
+        descriptors: sorted (d, c, side) ghost layers — d the normal
+        dim, c the canvas coordinate of the 1-thick ghost layer (-1/N
+        for canvas faces), side 0 = ghost below its footprint run
+        (seg.nb even).  groups maps each descriptor to the contributing
+        segment indices (disjoint transverse rects)."""
+        memo = self.__dict__.setdefault("_seg_desc_memo", {})
+        if lvl in memo:
+            return memo[lvl]
+        out = None
+        if (getattr(self, "seg_fused", True) and self.n_eps == 0
+                and self._seg_kcfg(lvl) is not None):
+            groups: Optional[Dict] = {}
+            for i, seg in enumerate(self.segs[lvl]):
+                if seg.kind == "wrap":
+                    groups = None
+                    break
+                d = seg.nb // 2
+                c = int(seg.lo[d])
+                side = 0 if seg.nb % 2 == 0 else 1
+                groups.setdefault((d, c, side), []).append(i)
+            if groups is not None:
+                X, Y, Z = (int(v) for v in self.dims[lvl])
+                sizes = {2: (Y + 2 * dk.PY) * X,
+                         1: (Z + 2 * dk.PZ) * X,
+                         0: (Z + 2 * dk.PZ) * (Y + 2 * dk.PY)}
+                nbytes = sum(4 * sizes[d] * 4 for (d, c, s) in groups)
+                if nbytes <= 24 * 1024 * 1024:
+                    out = (tuple(sorted(groups)),
+                           {k: tuple(v) for k, v in groups.items()})
+        memo[lvl] = out
+        return out
+
+    def _seg_planes(self, state, lvl, bcache):
+        """[4, T1, T2] coefficient planes per descriptor: A0 = c0*b
+        (rb: 0.5 * coarse-interp; phys: c0 * raw boundary values), A1 =
+        c1, A2 = c2, M = 1 at covered transverse positions — the same
+        products/operand order as _ring_values/_face_planes, so the
+        in-kernel synthesis (a0 + a1*x1) + a2*x2 is value-identical."""
+        descs, groups = self._seg_desc(lvl)
+        X, Y, Z = (int(v) for v in self.dims[lvl])
+        dt = self.cfg.dtype
+        shapes = {2: (Y + 2 * dk.PY, X), 1: (Z + 2 * dk.PZ, X),
+                  0: (Z + 2 * dk.PZ, Y + 2 * dk.PY)}
+        bc_phys = self._ring_bc(lvl, "phi")
+        raw = state["bc"][lvl]
+        out = []
+        for key in descs:
+            d, c, side = key
+            a = jnp.zeros((4,) + shapes[d], dt)
+            for i in groups[key]:
+                seg = self.segs[lvl][i]
+                if seg.kind == "rb":
+                    c0, c1, c2 = RB_COEFFS
+                    b = bcache[i]
+                else:
+                    c0, c1, c2 = bc_phys[seg.nb]
+                    b = self._seg_bwin(raw, seg)
+                if d == 2:
+                    sl = (slice(dk.PY + int(seg.lo[1]),
+                                dk.PY + int(seg.hi[1])),
+                          slice(int(seg.lo[0]), int(seg.hi[0])))
+                elif d == 1:
+                    sl = (slice(dk.PZ + int(seg.lo[2]),
+                                dk.PZ + int(seg.hi[2])),
+                          slice(int(seg.lo[0]), int(seg.hi[0])))
+                else:
+                    sl = (slice(dk.PZ + int(seg.lo[2]),
+                                dk.PZ + int(seg.hi[2])),
+                          slice(dk.PY + int(seg.lo[1]),
+                                dk.PY + int(seg.hi[1])))
+                a = a.at[(0,) + sl].set(c0 * b)
+                a = a.at[(1,) + sl].set(c1)
+                a = a.at[(2,) + sl].set(c2)
+                a = a.at[(3,) + sl].set(1.0)
+            out.append(a)
+        return out
+
+    def _seg_data(self, state, lvl):
+        """Memoized (descs, seg planes) — same deps as _rb_cache plus
+        this level's raw bc planes (the A0 channel carries c0*b)."""
+        descs, _ = self._seg_desc(lvl)
+        deps = tuple(v for u, v in state["phi"].items()
+                     if self._lvl_of(u) < self._lvl_of(lvl)) \
+            + tuple(pp for ps in state["bc"].values() for pp in ps)
+        planes = _dep_memo(
+            self, "_segp_memo", lvl, deps,
+            lambda: self._seg_planes(state, lvl,
+                                     self._rb_cache(state, lvl, "phi")))
+        return descs, planes
+
+    def _smooth_seg(self, state, lvl, n_cycle, lam):
+        """Fused-canvas GSRB: red+black pairs (up to two per HBM pass)
+        with rb/phys ghosts synthesized INSIDE the kernel from in-window
+        data — the mid-pair refresh is therefore EXACT (the b parts are
+        constant during a level visit; x1/x2 are red-updated in-window,
+        the ops/pair_sweep recipe), unlike the measured-negative stale
+        "pair" cadence.  Value-identical to the sequential
+        half-sweep+refresh path (tests/test_dense_forest.py)."""
+        cfg = self._seg_kcfg(lvl)
+        descs, planes = self._seg_data(state, lvl)
+        canvas = state["phi"][lvl]
+        rhs = state["rhs"][lvl]
+        done = 0
+        while done < n_cycle:
+            k = min(n_cycle - done, dk.PZ // 2)
+            canvas = dk.pair_sweep_dense(cfg, canvas, rhs, lam,
+                                         [None] * 6, red_parity=0,
+                                         n_pairs=k, segs=descs,
+                                         seg_planes=planes)
+            done += k
+        return self._set(state, "phi", lvl, canvas)
+
     def _smooth(self, state, lvl, n_cycle, lam):
         """n_cycle GSRB iterations at half-sweep granularity with ring
         and face-plane refreshes between half-sweeps (smooth_boxes,
@@ -1078,6 +1363,8 @@ class DenseForestMGSolver(DenseMGSolver):
         path)."""
         if self._gspmd:
             return self._smooth_gspmd(state, lvl, n_cycle, lam)
+        if self._seg_desc(lvl) is not None:
+            return self._smooth_seg(state, lvl, n_cycle, lam)
         if getattr(self, "ghost_refresh", "half") == "pair":
             return self._smooth_pairs(state, lvl, n_cycle, lam)
         cfg = self._kcfgs[lvl]
@@ -1133,6 +1420,14 @@ class DenseForestMGSolver(DenseMGSolver):
         if self._gspmd:
             return self._set(state, "ires", lvl,
                              self._apply_gspmd(state, lvl, lam, True))
+        if self._seg_desc(lvl) is not None:
+            cfg = self._seg_kcfg(lvl)
+            descs, planes = self._seg_data(state, lvl)
+            ires = dk.stencil_apply_dense(
+                cfg, state["phi"][lvl], state["rhs"][lvl], lam,
+                [None] * 6, residual=True, segs=descs,
+                seg_planes=planes)
+            return self._set(state, "ires", lvl, ires)
         cfg = self._kcfgs[lvl]
         canvas, planes, vals = self._assemble(state, lvl, "phi")
         easm = self._eps_assemble(state, lvl)
@@ -1148,6 +1443,13 @@ class DenseForestMGSolver(DenseMGSolver):
     def _apply_op(self, state, lvl, lam):
         if self._gspmd:
             return self._apply_gspmd(state, lvl, lam, False)
+        if self._seg_desc(lvl) is not None:
+            cfg = self._seg_kcfg(lvl)
+            descs, planes = self._seg_data(state, lvl)
+            return dk.stencil_apply_dense(
+                cfg, state["phi"][lvl], state["rhs"][lvl], lam,
+                [None] * 6, residual=False, segs=descs,
+                seg_planes=planes)
         cfg = self._kcfgs[lvl]
         canvas, planes, vals = self._assemble(state, lvl, "phi")
         easm = self._eps_assemble(state, lvl)
@@ -1241,10 +1543,14 @@ class DenseForestMGSolver(DenseMGSolver):
         ext_dims = np.asarray(self.dims[lvl])[::-1] // 2  # (z, y, x)
         sl = tuple(slice(int(lo[d]), int(lo[d]) + int(ext_dims[2 - d]) + 2)
                    for d in (2, 1, 0))
+        # window extraction without materializing full exts (the
+        # unaligned [N+2]^3 layout is the measured forest wall — see
+        # _ext_strip); values identical per construction
         if self.conflicts.get(lvl_c) is None:
-            corr = (self._ext(state, lvl_c, "phi")
-                    - self._ext(state, lvl_c, "iold"))
-            sub = corr[sl]
+            ap = self._assemble(state, lvl_c, "phi")[:2]
+            ai = self._assemble(state, lvl_c, "iold")[:2]
+            sub = (self._ext_window(ap, lvl_c, sl)
+                   - self._ext_window(ai, lvl_c, sl))
         else:
             # the prolongation's border-plane reads are per-axis ghost
             # reads of the parent boxes (mg_prolong_sparse uses face
@@ -1252,20 +1558,65 @@ class DenseForestMGSolver(DenseMGSolver):
             # plane from the axis-preferenced ext pair
             bc_p = self._rb_cache(state, lvl_c, "phi")
             bc_i = self._rb_cache(state, lvl_c, "iold")
-            corr_ax = {a: (self._ext(state, lvl_c, "phi", bcache=bc_p,
-                                     prefer=a)
-                           - self._ext(state, lvl_c, "iold", bcache=bc_i,
-                                       prefer=a))[sl]
-                       for a in range(3)}
+            corr_ax = {a: (self._ext_window(
+                self._assemble(state, lvl_c, "phi", bcache=bc_p,
+                               prefer=a)[:2], lvl_c, sl)
+                - self._ext_window(
+                    self._assemble(state, lvl_c, "iold", bcache=bc_i,
+                                   prefer=a)[:2], lvl_c, sl))
+                for a in range(3)}
             sub = corr_ax[0]
             for axis, a in ((0, 2), (1, 1), (2, 0)):
                 s2 = corr_ax[a]
                 idx0 = (slice(None),) * axis + (0,)
                 idx1 = (slice(None),) * axis + (-1,)
                 sub = sub.at[idx0].set(s2[idx0]).at[idx1].set(s2[idx1])
-        vals = self._prolong_rect(sub)
-        phi = state["phi"][lvl].at[_ISL].add(vals)
+        phi = self._prolong_add(sub, state["phi"][lvl])
         return self._set(state, "phi", lvl, phi)
+
+    def _prolong_add(self, sub, phi_f):
+        """phi_f += prolong(sub) — through the fused Mosaic kernel's
+        corr_ready mode on eligible canvases (sub's ±1 ring rides the
+        kernel's identity face planes: the window ring IS the window's
+        six faces), the XLA interleave otherwise.  Bitwise: the kernel
+        carries the same mg_prolong_sparse accumulation order
+        (transfer-kernel parity, tests/test_ops.py)."""
+        Zs, Ys, Xs = (int(v) - 2 for v in sub.shape)
+        dims_w = (Xs, Ys, Zs)
+        tiles = dk.transfer_tiles(dims_w)
+        ok = (not self._gspmd
+              and tiles is not None and tiles[0] % 8 == 0
+              and (2 * Xs) % 128 == 0 and Ys % dk.PY == 0
+              and (self.interpret
+                   or np.dtype(self.cfg.dtype).itemsize <= 4))
+        if not ok:
+            return phi_f.at[_ISL].add(self._prolong_rect(sub))
+        cfg_w = dk.DenseStencilConfig(
+            dims=dims_w, idr2=(1.0, 1.0, 1.0),
+            bc=[(1.0, 0.0, 0.0)] * 6, periodic=(False,) * 3,
+            dtype=self.cfg.dtype, b_const=[None] * 6,
+            interpret=self.interpret)
+        dt = self.cfg.dtype
+        cp = jnp.zeros(dk.padded_shape(dims_w), dt).at[_ISL].set(
+            sub[1:-1, 1:-1, 1:-1])
+        PZ, PY = dk.PZ, dk.PY
+        planes = []
+        for nb, face in enumerate((
+                sub[1:-1, 1:-1, 0], sub[1:-1, 1:-1, -1],   # x faces
+                sub[1:-1, 0, 1:-1], sub[1:-1, -1, 1:-1],   # y faces
+                sub[0, 1:-1, 1:-1], sub[-1, 1:-1, 1:-1])):  # z faces
+            if nb < 2:
+                p = jnp.zeros((Zs + 2 * PZ, Ys + 2 * PY), dt)
+                p = p.at[PZ:PZ + Zs, PY:PY + Ys].set(face)
+            elif nb < 4:
+                p = jnp.zeros((Zs + 2 * PZ, Xs), dt)
+                p = p.at[PZ:PZ + Zs, :].set(face)
+            else:
+                p = jnp.zeros((Ys + 2 * PY, Xs), dt)
+                p = p.at[PY:PY + Ys, :].set(face)
+            planes.append(p)
+        return dk.prolong_correct_dense(cfg_w, cp, cp, phi_f, planes,
+                                        corr_ready=True)
 
     def _prolong_rect(self, sub):
         """D-linear prolongation; under GSPMD the z interleave uses a

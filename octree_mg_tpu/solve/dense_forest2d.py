@@ -384,6 +384,18 @@ class DenseForest2DMGSolver(Dense2DMGSolver):
         return x1, x2
 
     def _rb_cache(self, state, lvl, key) -> Dict[int, jnp.ndarray]:
+        """Memoized (see dense_forest._dep_memo) coarse-side
+        interpolation vectors."""
+        from .dense_forest import _dep_memo
+        if not any(se.kind == "rb" for se in self.segs[lvl]):
+            return {}
+        deps = tuple(v for u, v in state[key].items()
+                     if self._lvl_of(u) < self._lvl_of(lvl)) \
+            + tuple(pp for ps in state["bc"].values() for pp in ps)
+        return _dep_memo(self, "_rbc_memo", (lvl, key), deps,
+                         lambda: self._rb_cache_build(state, lvl, key))
+
+    def _rb_cache_build(self, state, lvl, key) -> Dict[int, jnp.ndarray]:
         """Coarse-side interpolation vectors b per rb segment
         (box_gc_for_fine_neighbor: strip + ±0.125 transverse gradient,
         m_ghost_cells.f90:500-576, 2D form :545-555)."""

@@ -351,3 +351,105 @@ def test_forest_gspmd_overlay_matches_ringwrite_single_device():
     b = np.asarray(sd.interior(st, top, "phi")) * _mask(sd, top)
     scale = max(float(np.max(np.abs(a))), 1e-30)
     assert np.max(np.abs(a - b)) <= 1e-12 * scale
+
+
+# ---------------------------------------------------------------------------
+# fused-canvas smoother (round-5): in-kernel ring/face ghost synthesis
+# ---------------------------------------------------------------------------
+
+def _seg_tree(kind):
+    """Kernel-eligible canvases (X = 128 lanes) on CPU-sized domains."""
+    t = build_rectangle(3, [64, 16, 16], 4,
+                        [1 / 64., 1 / 16., 1 / 16.], [0] * 3)
+    if kind == "L":
+        _refine(t, 1, lambda ix: ix[1] <= 2 or ix[2] <= 2)
+    elif kind == "slab":
+        _refine(t, 1, lambda ix: ix[1] in (2, 3) and ix[2] in (2, 3))
+    tm.finalize_amr(t, 2)
+    return t
+
+
+def _seg_run(kind, fused, operator="laplacian", lam=0.0, bcv=0.25):
+    sv = DenseForestMGSolver(_seg_tree(kind),
+                             MGConfig(operator=operator))
+    sv.seg_fused = fused
+    sv.set_bc(0, BCType.DIRICHLET, bcv)
+    st = sv.allocate()
+    rng = np.random.default_rng(7)
+    for lvl in sv.levels:
+        X, Y, Z = sv.dims[lvl]
+        st = sv.set_interior(st, lvl, "rhs",
+                             jnp.asarray(rng.normal(size=(Z, Y, X))))
+    top = sv.levels[-1]
+    if fused:
+        assert sv._seg_desc(top) is not None, "gate must admit this tree"
+    st, _ = sv.fas_fmg(st)
+    st, res_v = sv.fas_vcycle(st)
+    # garbage cells are garbage-by-contract (may hold non-finite in the
+    # fused path): select, don't multiply (NaN*0 = NaN)
+    phi = np.where(sv.footprint_mask(top),
+                   np.asarray(sv.interior(st, top, "phi")), 0.0)
+    return phi, float(res_v)
+
+
+@pytest.mark.parametrize("kind,operator,lam", [
+    ("L", "laplacian", 0.0),
+    ("L", "helmholtz", 0.42),
+    ("slab", "laplacian", 0.0),
+])
+def test_seg_fused_smoother_matches_sequential(kind, operator, lam):
+    """The fused-canvas path (rb/phys ghosts synthesized INSIDE the
+    Mosaic pair/apply kernels from in-window data — exact mid-pair
+    refresh, ops/pair_sweep recipe generalized to segment planes) is
+    value-identical to the sequential half-sweep+refresh path.  NOT
+    asserted bitwise: the two programs have different fusion shapes and
+    XLA's fma-contraction is only value-stable per program shape (the
+    measured class documented for the GSPMD overlay formulation,
+    __graft_entry__ forest cases) — bound: 32 ulp of the field scale;
+    anything past that is a real regression."""
+    a, ra = _seg_run(kind, False, operator, lam)
+    b, rb = _seg_run(kind, True, operator, lam)
+    scale = float(np.max(np.abs(a)))
+    tol = 32 * np.finfo(np.float64).eps * scale
+    assert np.max(np.abs(a - b)) <= tol, (
+        float(np.max(np.abs(a - b))), tol)
+    assert abs(ra - rb) <= 1e-10 * max(ra, 1.0)
+
+
+def test_seg_fused_engages_and_gates():
+    """The gate: kernel-eligible non-periodic trees engage; wrap
+    segments (periodic) fall back to the sequential path."""
+    sv = DenseForestMGSolver(_seg_tree("L"), MGConfig(operator="laplacian"))
+    assert sv._seg_desc(sv.levels[-1]) is not None
+    tp = build_rectangle(3, [64, 16, 16], 4,
+                         [1 / 64., 1 / 16., 1 / 16.], [0] * 3,
+                         periodic=[True] * 3)
+    _refine(tp, 1, lambda ix: ix[1] <= 2)
+    tm.finalize_amr(tp, 2)
+    svp = DenseForestMGSolver(tp, MGConfig(operator="laplacian"))
+    for lvl in svp.levels:
+        if any(s.kind == "wrap" for s in svp.segs[lvl]):
+            assert svp._seg_desc(lvl) is None
+
+
+def test_prolong_add_kernel_bitwise():
+    """The forest correction's fused-prolong route (corr_ready mode,
+    window ring riding the identity face planes) is bitwise the XLA
+    interleave path at a kernel-eligible window size."""
+    from octree_mg_tpu.ops import dense_kernels as dk
+    from octree_mg_tpu.solve.dense import _ISL
+    t = build_rectangle(3, [128, 32, 32], 4,
+                        [1 / 128., 1 / 32., 1 / 32.], [0] * 3)
+    _refine(t, 1, lambda ix: ix[1] <= 4 or ix[2] <= 4)
+    tm.finalize_amr(t, 2)
+    sv = DenseForestMGSolver(t, MGConfig(operator="laplacian"))
+    top = sv.levels[-1]
+    X, Y, Z = sv.dims[top]
+    assert dk.transfer_tiles((X // 2, Y // 2, Z // 2)) is not None
+    rng = np.random.default_rng(1)
+    sub = jnp.asarray(rng.normal(size=(Z // 2 + 2, Y // 2 + 2,
+                                       X // 2 + 2)))
+    phi_f = jnp.asarray(rng.normal(size=dk.padded_shape(sv.dims[top])))
+    a = np.asarray(phi_f.at[_ISL].add(sv._prolong_rect(sub)))
+    b = np.asarray(sv._prolong_add(sub, phi_f))
+    assert np.array_equal(a[_ISL], b[_ISL])
