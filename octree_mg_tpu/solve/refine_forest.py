@@ -549,17 +549,30 @@ class RefinedForestPoisson:
                     state = sv.set_interior(
                         state, lvl, tag, self._eps_df[tag][lvl][0][_ISL])
             sv._direct = None  # coarse matrix depends on eps
+        # Under a GSPMD-sharded inner state, the OUTER df arrays are
+        # kept REPLICATED: sharding the step's inputs miscompiles its
+        # ext-scatter/strip-interleave chains at shard boundaries
+        # (measured — the 2D forest's documented jax 0.9.0 family; the
+        # replicated rendering is bitwise the single-device one).  The
+        # bulk of the work — the inner forest FMG — still distributes;
+        # the outer residual is computed redundantly per device.
+        repl = None
+        if getattr(sv, "_gspmd_mesh", None) is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = NamedSharding(sv._gspmd_mesh, PartitionSpec())
+        place = ((lambda a: a) if repl is None
+                 else (lambda a: jax.device_put(a, repl)))
         X = {}
         RHSh, RHSl = {}, {}
         for lvl in sv.levels:
             shape = sv._pshape(sv.dims[lvl])
             # distinct buffers: the step donates X, so no aliasing
-            X[lvl] = (jnp.zeros(shape, jnp.float32),
-                      jnp.zeros(shape, jnp.float32))
-            RHSh[lvl] = jnp.zeros(shape, jnp.float32).at[_ISL].set(
-                jnp.asarray(rhs_hi[lvl], jnp.float32))
-            RHSl[lvl] = jnp.zeros(shape, jnp.float32).at[_ISL].set(
-                jnp.asarray(rhs_lo[lvl], jnp.float32))
+            X[lvl] = (place(jnp.zeros(shape, jnp.float32)),
+                      place(jnp.zeros(shape, jnp.float32)))
+            RHSh[lvl] = place(jnp.zeros(shape, jnp.float32).at[_ISL].set(
+                jnp.asarray(rhs_hi[lvl], jnp.float32)))
+            RHSl[lvl] = place(jnp.zeros(shape, jnp.float32).at[_ISL].set(
+                jnp.asarray(rhs_lo[lvl], jnp.float32)))
         norms_dev: List = []
         state = dict(state)
         state["rhs"] = dict(state["rhs"])
@@ -568,17 +581,40 @@ class RefinedForestPoisson:
         for lvl in sv.levels:
             state = sv._set(state, "phi", lvl,
                             jnp.zeros_like(state["phi"][lvl]))
-        for i in range(n_outer):
-            X, state, mx = self._jit_outer(X, state, RHSh, RHSl)
+        if getattr(sv, "_gspmd_mesh", None) is None:
+            for i in range(n_outer):
+                X, state, mx = self._jit_outer(X, state, RHSh, RHSl)
+                norms_dev.append(mx)
+                if rtol and float(mx) <= rtol * float(norms_dev[0]):
+                    break
+            # closing norm: accumulate last correction + residuals only
+            E = {lvl: state["phi"][lvl] for lvl in sv.levels}
+            X, R, mx = self._jit_step(X, E, RHSh, RHSl)
+            for lvl in sv.levels:
+                state["rhs"][lvl] = R[lvl]
             norms_dev.append(mx)
-            if rtol and float(mx) <= rtol * float(norms_dev[0]):
-                break
-        # closing norm: accumulate the last correction + residuals only
-        E = {lvl: state["phi"][lvl] for lvl in sv.levels}
-        X, R, mx = self._jit_step(X, E, RHSh, RHSl)
-        for lvl in sv.levels:
-            state["rhs"][lvl] = R[lvl]
-        norms_dev.append(mx)
+        else:
+            # GSPMD: TWO dispatches per outer — the replicated df step,
+            # then the solver's own DISTRIBUTED FMG; R reshards to the
+            # state's canonical placements between them, E (the FMG
+            # correction) replicates before each step.  Asserted
+            # bitwise vs single-device (tests/test_refine_forest.py).
+            E = {lvl: place(jnp.zeros_like(state["phi"][lvl]))
+                 for lvl in sv.levels}
+            for i in range(n_outer + 1):
+                X, R, mx = self._jit_step(X, E, RHSh, RHSl)
+                for lvl in sv.levels:
+                    state["rhs"][lvl] = jax.device_put(
+                        R[lvl], state["phi"][lvl].sharding)
+                norms_dev.append(mx)
+                if i == n_outer:
+                    break
+                if rtol and float(mx) <= rtol * float(norms_dev[0]):
+                    break
+                state, _ = sv.fas_fmg(state, lam=self.lam,
+                                      need_res=False)
+                E = {lvl: place(state["phi"][lvl])
+                     for lvl in sv.levels}
         norms = [float(m) for m in norms_dev]
         out = {lvl: (X[lvl][0][_ISL], X[lvl][1][_ISL])
                for lvl in sv.levels}

@@ -306,3 +306,63 @@ def test_solve_refined_routes_2d_amr():
     rl = {l: split_f64(rhs64[l])[1] for l in rhs64}
     x_pairs, norms, _ = solve_refined(sv, st, rh, rl, n_outer=8)
     assert norms[-1] <= 1e-10 * norms[0], norms
+
+
+def test_refined_forest_gspmd_sharded_matches_single():
+    """f64-class refinement composed with the GSPMD-sharded forest
+    state (round-4 verdict item 6): the inner FMG distributes (overlay
+    formulation, z-slabs), the outer df step runs replicated (sharding
+    its ext-scatter/strip chains miscompiles — the documented jax-CPU
+    partitioner family; the replicated rendering is bitwise).  The
+    reference is f64 at every rank count (m_data_structures.f90:8)."""
+    import jax
+    from jax.sharding import Mesh
+    t = build_rectangle(3, [32] * 3, 4, [1 / 32.] * 3, [0] * 3)
+    _refine(t, 1, lambda ix: ix[0] <= 4 or ix[1] <= 4)
+    tm.finalize_amr(t, 2)
+
+    def mk():
+        sv = DenseForestMGSolver(t, MGConfig(operator="laplacian",
+                                             dtype=jnp.float32))
+        sv.set_bc(0, BCType.DIRICHLET, 0.0)
+        return sv
+
+    rng = np.random.default_rng(5)
+    rhs64 = {}
+    svp = mk()
+    for lvl in svp.levels:
+        X, Y, Z = svp.dims[lvl]
+        rhs64[lvl] = rng.normal(size=(Z, Y, X))
+    rh = {l: split_f64(rhs64[l])[0] for l in rhs64}
+    rl = {l: split_f64(rhs64[l])[1] for l in rhs64}
+
+    def run(shard):
+        sv = mk()
+        st = sv.allocate()
+        if shard:
+            mesh = Mesh(np.array(jax.devices()[:8]), ("z",))
+            st = sv.shard_state(st, mesh, min_local=4)
+            assert sum(sv.z_sharded[l] for l in sv.levels) >= 1
+        return RefinedForestPoisson(sv).solve(st, rh, rl, n_outer=6)[:2]
+
+    xa, na = run(False)
+    xb, nb = run(True)
+    assert na[-1] <= 1e-8 * na[0], na
+    # not bitwise: program shapes differ between the partitioned and
+    # single-device compilations and XLA's fma-contraction is only
+    # value-stable per program shape (the documented forest-GSPMD
+    # class) — bound: f32-ulp-relative per outer norm, 8 ulp of the
+    # field scale on the solution pairs
+    assert all(abs(a - b) <= 1e-5 * max(a, 1e-30)
+               for a, b in zip(na, nb)), (na, nb)
+    sv_m = mk()
+    masks = {lvl: sv_m.footprint_mask(lvl) for lvl in xa}
+    scale = max(float(np.max(np.abs(np.where(
+        masks[lvl], np.asarray(xa[lvl][0]), 0.0)))) for lvl in xa)
+    tol = 8 * np.finfo(np.float32).eps * scale
+    for lvl in xa:
+        for c in (0, 1):
+            d = float(np.max(np.abs(np.where(
+                masks[lvl],
+                np.asarray(xa[lvl][c]) - np.asarray(xb[lvl][c]), 0.0))))
+            assert d <= tol, (lvl, c, d, tol)
