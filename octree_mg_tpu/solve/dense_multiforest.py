@@ -78,9 +78,18 @@ def _components(tree: Tree, lvl: int) -> List[np.ndarray]:
 
 
 def dense_multiforest_supported(tree: Tree, cfg: MGConfig,
-                                min_fill: float = 0.2) -> bool:
+                                min_fill: float = 0.01) -> bool:
     """Whether the multi-canvas forest path covers this configuration
-    (intended for trees the single-canvas fill gate rejects)."""
+    (intended for trees the single-canvas fill gate rejects).
+
+    min_fill (per COMPONENT bounding box) defaults to 1%: measured on
+    chip, a concave snake component at 2.9% fill runs 83x FASTER than
+    the boxed fallback (12.9 vs 1074 ms/FMG, identical residuals —
+    experiments/probe_snake.py), and the canvas cost scales with bbox
+    volume so the break-even sits near 0.04%.  What actually bounds
+    low-fill canvases is HBM capacity (4 fields x bbox cells), not
+    speed — keep components' bboxes within memory and lower min_fill
+    freely."""
     if not (tree.ndim == 3
             and tree.highest_lvl > 1
             and cfg.operator in ("laplacian", "helmholtz", "vlaplacian",
@@ -365,7 +374,7 @@ class DenseMultiForestMGSolver(_MultiUnitMixin, DenseForestMGSolver):
 
 
 def dense_multiforest2d_supported(tree: Tree, cfg: MGConfig,
-                                  min_fill: float = 0.2) -> bool:
+                                  min_fill: float = 0.01) -> bool:
     """2D form of :func:`dense_multiforest_supported` (sparse quadtree
     forests; same component/fill/wrap rules, forest2d's operator and
     geometry gate incl. the cylindrical laplacian)."""
