@@ -148,10 +148,10 @@ def run_mixed(size, box, n_outer=10):
         # executions to settle, so warm 24 outers)
         for _ in range(3):
             _, _, _, st32 = rp.solve(st32, rhi, rlo, n_outer=8)
-        # best of 4 (the repo probe idiom): tunnel throughput varies
+        # best of 6 (the repo probe idiom): tunnel throughput varies
         # +-10% between runs; min is the honest steady-state figure
         dt = np.inf
-        for _ in range(4):
+        for _ in range(6):
             t0 = time.perf_counter()
             _, _, norms, st32 = rp.solve(st32, rhi, rlo,
                                          n_outer=n_outer)
