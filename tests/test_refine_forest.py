@@ -366,3 +366,29 @@ def test_refined_forest_gspmd_sharded_matches_single():
                 masks[lvl],
                 np.asarray(xa[lvl][c]) - np.asarray(xb[lvl][c]), 0.0))))
             assert d <= tol, (lvl, c, d, tol)
+
+
+def test_refined_forest_f32_fused_smoother_regression():
+    """f32 + kernel-eligible canvases (the fused-canvas smoother
+    engages): the refined outer must reach the df32 floor.  Regression
+    for the uninitialized-output-pad NaN (Mosaic kernels write core
+    tiles only; canvas-edge garbage cells read pads raw in the seg
+    kernels — without pad sanitization NaN infected the garbage region
+    and, through the df driver's whole-interior pair arithmetic, leaf
+    cells after ONE outer)."""
+    t = build_rectangle(3, [64] * 3, 4, [1 / 64.] * 3, [0] * 3)
+    _refine(t, 1, lambda ix: ix[1] <= 8 or ix[2] <= 8)
+    tm.finalize_amr(t, 2)
+    sv = DenseForestMGSolver(t, MGConfig(operator="laplacian",
+                                         dtype=jnp.float32))
+    sv.set_bc(0, BCType.DIRICHLET, 0.0)
+    assert sv._seg_desc(sv.levels[-1]) is not None, "gate must engage"
+    st = sv.allocate()
+    rng = np.random.default_rng(5)
+    rh, rl = {}, {}
+    for lvl in sv.levels:
+        X, Y, Z = sv.dims[lvl]
+        rh[lvl], rl[lvl] = split_f64(rng.normal(size=(Z, Y, X)))
+    _, norms, _ = RefinedForestPoisson(sv).solve(st, rh, rl, n_outer=8)
+    assert all(np.isfinite(norms)), norms
+    assert norms[-1] <= 1e-9 * norms[0], norms
