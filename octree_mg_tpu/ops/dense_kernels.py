@@ -674,6 +674,16 @@ def _make_kernel(cfg: DenseStencilConfig, body, hz: int,
         pw = hphi[slot]
         rw = hrhs[slot]
         ew = tuple(h[slot] for h in heps)
+        if n_seg:
+            # forest canvases: OUTPUT pads of prior kernel calls are
+            # uninitialized (core tiles only are ever written), and the
+            # seg path has no BC masks to hide pad reads at canvas-edge
+            # GARBAGE cells — zero the pad rows in-window (one fused
+            # VPU select; value-identical to zeroing the pads in HBM,
+            # which footprint results never read)
+            pad_m = ((gz < 0) | (gz >= cfg.Z)
+                     | (gy < 0) | (gy >= cfg.Y))
+            pw = jnp.where(pad_m, jnp.zeros((), pw.dtype), pw)
 
         # forest segment-plane windows (VMEM-resident like the bc
         # planes; layouts per axis mirror the face-plane treatment).

@@ -1334,22 +1334,6 @@ class DenseForestMGSolver(DenseMGSolver):
                                      self._rb_cache(state, lvl, "phi")))
         return descs, planes
 
-    def _zero_pads(self, arr):
-        """Zero the z/y pad slabs of a padded canvas.  The Mosaic
-        kernels write core tiles only, leaving OUTPUT pads
-        uninitialized (NaN canaries in interpret, arbitrary bytes on
-        chip); canvas-edge GARBAGE cells read pads raw in the seg
-        kernels (no BC masks there — footprint edges are covered by
-        segment synthesis, garbage edges by nothing), so unsanitized
-        NaN pads would infect the garbage region and, through the
-        refined driver's whole-interior pair arithmetic, eventually
-        leaf cells (measured: NaN after one fused FMG at f32).  Thin
-        slab writes, ~1/8 of a pass."""
-        PZ, PY = dk.PZ, dk.PY
-        z = jnp.zeros((), arr.dtype)
-        arr = arr.at[:PZ].set(z).at[-PZ:].set(z)
-        return arr.at[:, :PY].set(z).at[:, -PY:].set(z)
-
     def _smooth_seg(self, state, lvl, n_cycle, lam):
         """Fused-canvas GSRB: red+black pairs (up to two per HBM pass)
         with rb/phys ghosts synthesized INSIDE the kernel from in-window
@@ -1360,7 +1344,7 @@ class DenseForestMGSolver(DenseMGSolver):
         half-sweep+refresh path (tests/test_dense_forest.py)."""
         cfg = self._seg_kcfg(lvl)
         descs, planes = self._seg_data(state, lvl)
-        canvas = self._zero_pads(state["phi"][lvl])
+        canvas = state["phi"][lvl]
         rhs = state["rhs"][lvl]
         done = 0
         while done < n_cycle:
@@ -1440,9 +1424,9 @@ class DenseForestMGSolver(DenseMGSolver):
             cfg = self._seg_kcfg(lvl)
             descs, planes = self._seg_data(state, lvl)
             ires = dk.stencil_apply_dense(
-                cfg, self._zero_pads(state["phi"][lvl]),
-                state["rhs"][lvl], lam, [None] * 6, residual=True,
-                segs=descs, seg_planes=planes)
+                cfg, state["phi"][lvl], state["rhs"][lvl], lam,
+                [None] * 6, residual=True, segs=descs,
+                seg_planes=planes)
             return self._set(state, "ires", lvl, ires)
         cfg = self._kcfgs[lvl]
         canvas, planes, vals = self._assemble(state, lvl, "phi")
@@ -1463,9 +1447,9 @@ class DenseForestMGSolver(DenseMGSolver):
             cfg = self._seg_kcfg(lvl)
             descs, planes = self._seg_data(state, lvl)
             return dk.stencil_apply_dense(
-                cfg, self._zero_pads(state["phi"][lvl]),
-                state["rhs"][lvl], lam, [None] * 6, residual=False,
-                segs=descs, seg_planes=planes)
+                cfg, state["phi"][lvl], state["rhs"][lvl], lam,
+                [None] * 6, residual=False, segs=descs,
+                seg_planes=planes)
         cfg = self._kcfgs[lvl]
         canvas, planes, vals = self._assemble(state, lvl, "phi")
         easm = self._eps_assemble(state, lvl)
